@@ -1,0 +1,273 @@
+"""Global assembly: residual vectors and block-ELL Jacobians.
+
+Replaces the dolfin::Assembler element loop + PETSc matrix scatter
+(SURVEY.md §2b).  All connectivity/geometry tables are precomputed host-side
+in numpy (static constants under jit); the per-element work is pure JAX,
+vmapped over elements, with the element Jacobian obtained by ``jax.jacfwd``
+of the local residual.
+
+Sparse storage is block-ELL ("padded CSR"): per mesh vertex a fixed-width,
+sorted neighbor list (padded with self-loops) and per neighbor an
+(n_fields x n_fields) dense block.  This keeps every shape static, makes the
+matvec a gather + batched small matmul (TPU-friendly), and holds the entire
+Jacobian of the reference workloads (<= ~40 MB) comfortably in HBM.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gmpnp_tpu.fem.elements import (
+    QuadratureRule,
+    physical_gradients,
+    simplex_quadrature,
+    p1_shape,
+)
+from gmpnp_tpu.fem.forms import WeakForm
+from gmpnp_tpu.mesh.core import (
+    Mesh,
+    cell_measures,
+    facet_measures,
+    vertex_adjacency,
+)
+
+
+class BlockELL(NamedTuple):
+    """Block sparse matrix in ELL format.
+
+    adj : (N, K) int32 neighbor ids (sorted, padded with the row vertex)
+    blocks : (N, K, f, f) float blocks; padding blocks are zero
+    diag_slot : (N,) int32 position of the diagonal block within each row
+    """
+
+    adj: jnp.ndarray
+    blocks: jnp.ndarray
+    diag_slot: jnp.ndarray
+
+    def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        """y[n] = sum_k blocks[n,k] @ x[adj[n,k]];  x, y: (N, f)."""
+        xg = x[self.adj]  # (N, K, f)
+        return jnp.einsum("nkfg,nkg->nf", self.blocks, xg)
+
+    def diag_blocks(self) -> jnp.ndarray:
+        """(N, f, f) diagonal blocks."""
+        return jnp.take_along_axis(
+            self.blocks, self.diag_slot[:, None, None, None], axis=1
+        )[:, 0]
+
+    def to_dense(self) -> jnp.ndarray:
+        """(N*f, N*f) dense matrix — tests / small direct solves only."""
+        N, K, f, _ = self.blocks.shape
+        rows = jnp.repeat(jnp.arange(N), K)
+        cols = self.adj.reshape(-1)
+        dense = jnp.zeros((N, f, N, f), dtype=self.blocks.dtype)
+        # padded slots alias the diagonal with zero blocks: scatter-add safe
+        dense = dense.at[rows, :, cols, :].add(
+            self.blocks.reshape(N * K, f, f))
+        return dense.reshape(N * f, N * f)
+
+
+def _facet_tables(mesh: Mesh, quad_deg: int):
+    """Per-marker facet tables: (nodes, measures, shape, weights, xq)."""
+    assert mesh.facets is not None
+    dim = mesh.dim
+    fdim = dim - 1
+    out: Dict[int, dict] = {}
+    markers = np.unique(mesh.facet_markers)
+    if fdim == 0:
+        shape = np.ones((1, 1))
+        w = np.ones(1)
+        pts = np.zeros((1, 0))
+    else:
+        rule = simplex_quadrature(fdim, quad_deg)
+        shape, w, pts = rule.shape, rule.weights, rule.points
+    for m in markers:
+        sel = mesh.facet_markers == m
+        fnodes = mesh.facets[sel]
+        fmeas = facet_measures(mesh.points, fnodes)
+        X = mesh.points[fnodes]  # (F, fnv, dim)
+        xq = np.einsum("qa,fad->fqd", shape, X)
+        out[int(m)] = dict(
+            nodes=fnodes.astype(np.int32),
+            meas=fmeas,
+            shape=shape,
+            weights=w,
+            xq=xq,
+        )
+    return out
+
+
+def _slot_table(cells: np.ndarray, adj: np.ndarray) -> np.ndarray:
+    """slot[c, a, b] = index of cells[c,b] within adj[cells[c,a]]."""
+    C, nv = cells.shape
+    rows = cells[:, :, None].repeat(nv, axis=2)      # (C, nv, nv)
+    cols = cells[:, None, :].repeat(nv, axis=1)      # (C, nv, nv)
+    row_adj = adj[rows]                              # (C, nv, nv, K)
+    slot = np.argmax(row_adj == cols[..., None], axis=-1)
+    assert (np.take_along_axis(row_adj, slot[..., None], -1)[..., 0]
+            == cols).all(), "adjacency table missing an entry"
+    return slot.astype(np.int32)
+
+
+def _node_slot(nodes: np.ndarray, adj: np.ndarray) -> np.ndarray:
+    """slot[i, a, b] for facet node tuples (same as _slot_table)."""
+    return _slot_table(nodes, adj)
+
+
+@dataclass(frozen=True)
+class FemSpace:
+    """Precomputed multi-field P1 space over a mesh.
+
+    The jnp arrays here are closed over by jit-compiled residual/Jacobian
+    functions; everything is static-shaped.
+    """
+
+    n_fields: int
+    num_vertices: int
+    dim: int
+    cells: jnp.ndarray          # (C, nv)
+    vols: jnp.ndarray           # (C,)
+    gradN: jnp.ndarray          # (C, nv, dim)
+    Nq: jnp.ndarray             # (Q, nv)
+    wq: jnp.ndarray             # (Q,)
+    xq: jnp.ndarray             # (C, Q, dim)
+    adj: jnp.ndarray            # (N, K)
+    diag_slot: jnp.ndarray      # (N,)
+    slot: jnp.ndarray           # (C, nv, nv)
+    facet_tabs: tuple           # ((marker, dict), ...) static ordering
+    points: jnp.ndarray         # (N, dim) vertex coords
+
+    @staticmethod
+    def build(mesh: Mesh, n_fields: int, quad_degree: int = 3,
+              facet_quad_degree: int = 2) -> "FemSpace":
+        dim = mesh.dim
+        rule = simplex_quadrature(dim, quad_degree)
+        vols = cell_measures(mesh.points, mesh.cells)
+        gradN = physical_gradients(mesh.points, mesh.cells)
+        X = mesh.points[mesh.cells]                       # (C, nv, dim)
+        xq = np.einsum("qa,cad->cqd", rule.shape, X)
+        adj, _ = vertex_adjacency(mesh.cells, mesh.num_vertices)
+        diag_slot = np.argmax(adj == np.arange(len(adj))[:, None], axis=1)
+        slot = _slot_table(mesh.cells, adj)
+
+        ftabs = []
+        for m, t in sorted(_facet_tables(mesh, facet_quad_degree).items()):
+            t = dict(t)
+            t["slot"] = _node_slot(t["nodes"], adj)
+            ftabs.append((m, {k: jnp.asarray(v) for k, v in t.items()}))
+
+        return FemSpace(
+            n_fields=n_fields,
+            num_vertices=mesh.num_vertices,
+            dim=dim,
+            cells=jnp.asarray(mesh.cells),
+            vols=jnp.asarray(vols),
+            gradN=jnp.asarray(gradN),
+            Nq=jnp.asarray(rule.shape),
+            wq=jnp.asarray(rule.weights),
+            xq=jnp.asarray(xq),
+            adj=jnp.asarray(adj),
+            diag_slot=jnp.asarray(diag_slot.astype(np.int32)),
+            slot=jnp.asarray(slot),
+            facet_tabs=tuple(ftabs),
+            points=jnp.asarray(mesh.points),
+        )
+
+    # -- local kernels -------------------------------------------------------
+
+    def _local_volume_residual(self, form: WeakForm, u_e, u_prev_e,
+                               gradN_c, vol_c, xq_c, theta):
+        """Element residual (nv, fields) for one element."""
+        # grad u (fields, dim): constant over the P1 element
+        grad_u = jnp.einsum("af,ad->fd", u_e, gradN_c)
+
+        def at_q(Nq_q, x_q):
+            u_q = Nq_q @ u_e           # (fields,)
+            up_q = Nq_q @ u_prev_e
+            fval, fgrad = form.volume(u_q, grad_u, up_q, x_q, theta)
+            # (nv, fields): fval tested with N_a, fgrad with grad N_a
+            return (jnp.outer(Nq_q, fval)
+                    + jnp.einsum("ad,fd->af", gradN_c, fgrad))
+
+        contrib = jax.vmap(at_q)(self.Nq, xq_c)      # (Q, nv, fields)
+        return vol_c * jnp.einsum("q,qaf->af", self.wq, contrib)
+
+    def _local_facet_residual(self, fn, u_f, meas_f, shape, weights,
+                              xq_f, theta):
+        """Facet residual (fnv, fields) for one boundary facet."""
+        def at_q(Nq_q, x_q):
+            u_q = Nq_q @ u_f
+            g = fn(u_q, x_q, theta)
+            return jnp.outer(Nq_q, g)
+
+        contrib = jax.vmap(at_q)(shape, xq_f)
+        return meas_f * jnp.einsum("q,qaf->af", weights, contrib)
+
+    # -- global assembly -----------------------------------------------------
+
+    def residual(self, form: WeakForm, u, u_prev, theta) -> jnp.ndarray:
+        """Assembled residual (N, fields)."""
+        u_e = u[self.cells]            # (C, nv, fields)
+        up_e = u_prev[self.cells]
+        r_e = jax.vmap(
+            lambda ue, upe, g, v, x: self._local_volume_residual(
+                form, ue, upe, g, v, x, theta)
+        )(u_e, up_e, self.gradN, self.vols, self.xq)
+        r = jnp.zeros((self.num_vertices, self.n_fields), dtype=u.dtype)
+        r = r.at[self.cells].add(r_e)
+
+        for marker, tab in self.facet_tabs:
+            fn = form.boundary.get(marker)
+            if fn is None:
+                continue
+            u_f = u[tab["nodes"]]
+            rf = jax.vmap(
+                lambda uf, mf, xf: self._local_facet_residual(
+                    fn, uf, mf, tab["shape"], tab["weights"], xf, theta)
+            )(u_f, tab["meas"], tab["xq"])
+            r = r.at[tab["nodes"]].add(rf)
+        return r
+
+    def jacobian(self, form: WeakForm, u, u_prev, theta) -> BlockELL:
+        """Assembled Jacobian dF/du as BlockELL."""
+        f = self.n_fields
+        N = self.num_vertices
+        K = self.adj.shape[1]
+        nv = self.cells.shape[1]
+
+        def local_jac(ue, upe, g, v, x):
+            fn = lambda uu: self._local_volume_residual(
+                form, uu, upe, g, v, x, theta)
+            J = jax.jacfwd(fn)(ue)     # (nv, f, nv, f)
+            return jnp.transpose(J, (0, 2, 1, 3))  # (nv_row, nv_col, f, f)
+
+        J_e = jax.vmap(local_jac)(
+            u[self.cells], u_prev[self.cells], self.gradN, self.vols, self.xq)
+
+        blocks = jnp.zeros((N, K, f, f), dtype=u.dtype)
+        rows = self.cells[:, :, None].repeat(nv, axis=2)   # (C, nv, nv)
+        blocks = blocks.at[rows, self.slot].add(J_e)
+
+        for marker, tab in self.facet_tabs:
+            fn = form.boundary.get(marker)
+            if fn is None:
+                continue
+
+            def local_fjac(uf, mf, xf):
+                f_res = lambda uu: self._local_facet_residual(
+                    fn, uu, mf, tab["shape"], tab["weights"], xf, theta)
+                J = jax.jacfwd(f_res)(uf)
+                return jnp.transpose(J, (0, 2, 1, 3))
+
+            Jf = jax.vmap(local_fjac)(u[tab["nodes"]], tab["meas"], tab["xq"])
+            fnv = tab["nodes"].shape[1]
+            frows = tab["nodes"][:, :, None].repeat(fnv, axis=2)
+            blocks = blocks.at[frows, tab["slot"]].add(Jf)
+
+        return BlockELL(adj=self.adj, blocks=blocks, diag_slot=self.diag_slot)

@@ -1,0 +1,67 @@
+"""Dirichlet boundary conditions via row masking.
+
+Replaces dolfin::DirichletBC application (row replacement in the Newton
+system).  The constrained residual entry becomes ``u - value`` and the
+Jacobian row becomes the identity row, which reproduces DOLFIN's
+NonlinearVariationalSolver behavior exactly: the Newton update drives the
+constrained dof to its value in one step and keeps it there.
+
+Masks are static (sparsity-defining); values may be traced scalars so that
+per-step BC updates (the Sechenov CO2 Dirichlet value,
+3D/MPNP_CO2ER_pore.py:835-838) never trigger recompilation.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from gmpnp_tpu.fem.assembly import BlockELL
+
+
+class DirichletBC(NamedTuple):
+    mask: jnp.ndarray    # (N, fields) bool — constrained dofs
+    values: jnp.ndarray  # (N, fields) — target values (entries off-mask ignored)
+
+    @staticmethod
+    def from_vertex_sets(
+        num_vertices: int,
+        n_fields: int,
+        entries: Sequence[Tuple[np.ndarray, int, float]],
+    ) -> "DirichletBC":
+        """Build from (vertex_ids, field, value) triples."""
+        mask = np.zeros((num_vertices, n_fields), dtype=bool)
+        vals = np.zeros((num_vertices, n_fields))
+        for verts, fld, val in entries:
+            mask[verts, fld] = True
+            vals[verts, fld] = val
+        return DirichletBC(jnp.asarray(mask), jnp.asarray(vals))
+
+    def with_values(self, values: jnp.ndarray) -> "DirichletBC":
+        """Replace the value array (e.g. traced per-step updates)."""
+        return DirichletBC(self.mask, values)
+
+    def set_value(self, verts, fld: int, value) -> "DirichletBC":
+        """Functionally update the value on a vertex set (traced-safe)."""
+        return DirichletBC(self.mask, self.values.at[verts, fld].set(value))
+
+    def apply_to_residual(self, r: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+        return jnp.where(self.mask, u - self.values, r)
+
+    def apply_to_jacobian(self, J: BlockELL) -> BlockELL:
+        """Zero constrained rows and place 1 on their diagonal entries."""
+        N, K, f, _ = J.blocks.shape
+        row_mask = self.mask[:, None, :, None]          # (N, 1, f, 1)
+        blocks = jnp.where(row_mask, 0.0, J.blocks)
+        rows = jnp.arange(N)
+        diag = blocks[rows, J.diag_slot]                # (N, f, f)
+        eye = jnp.eye(f, dtype=blocks.dtype)
+        diag = jnp.where(self.mask[:, :, None] & (eye[None] > 0), 1.0, diag)
+        blocks = blocks.at[rows, J.diag_slot].set(diag)
+        return BlockELL(adj=J.adj, blocks=blocks, diag_slot=J.diag_slot)
+
+    def project(self, u: jnp.ndarray) -> jnp.ndarray:
+        """Force constrained dofs to their values."""
+        return jnp.where(self.mask, self.values, u)
