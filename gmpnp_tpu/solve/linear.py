@@ -1,0 +1,351 @@
+"""Sparse linear solvers on block structures.
+
+- 1D coupled P1 systems are block-tridiagonal (f x f blocks): solved
+  *exactly* by block cyclic reduction (log2 N batched levels — the TPU path)
+  or a sequential block-Thomas scan (oracle/fallback).  This replaces the
+  UMFPACK direct solves DOLFIN uses for the reference's 1D models
+  (SURVEY.md §2b).
+- 3D systems use restarted GMRES or BiCGStab with block-Jacobi
+  preconditioning over the BlockELL matvec, replacing MUMPS
+  (3D/MPNP_CO2ER_pore.py:787-799).  The backward-Euler shift keeps the
+  systems well-conditioned enough for Newton-grade tolerances.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gmpnp_tpu.fem.assembly import BlockELL
+
+
+# ---------------------------------------------------------------------------
+# Block tridiagonal (1D direct)
+# ---------------------------------------------------------------------------
+
+def block_tridiag_from_ell(ell: BlockELL) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Extract (lower, diag, upper) block bands from a BlockELL matrix whose
+    mesh vertices are sorted along the line (adjacency {n-1, n, n+1}).
+
+    Returns arrays (N, f, f); lower[0] and upper[N-1] are zero.
+    """
+    N, K, f, _ = ell.blocks.shape
+    assert K <= 3, "not a tridiagonal pattern"
+    rows = jnp.arange(N)
+    diag = ell.blocks[rows, ell.diag_slot]
+    low_slot = jnp.clip(ell.diag_slot - 1, 0, K - 1)
+    up_slot = jnp.clip(ell.diag_slot + 1, 0, K - 1)
+    lower = ell.blocks[rows, low_slot]
+    upper = ell.blocks[rows, up_slot]
+    lower = jnp.where((rows > 0)[:, None, None], lower, 0.0)
+    upper = jnp.where((rows < N - 1)[:, None, None], upper, 0.0)
+    return lower, diag, upper
+
+
+def block_tridiag_solve_thomas(lower, diag, upper, rhs):
+    """Sequential block-Thomas algorithm via lax.scan (exact; oracle path).
+
+    lower/diag/upper: (N, f, f); rhs: (N, f).  Returns x: (N, f).
+    """
+    N, f, _ = diag.shape
+
+    def fwd(carry, inp):
+        Cp_prev, dp_prev = carry
+        A, B, C, d = inp
+        denom = B - A @ Cp_prev
+        Cp = jnp.linalg.solve(denom, C)
+        dp = jnp.linalg.solve(denom, d - A @ dp_prev)
+        return (Cp, dp), (Cp, dp)
+
+    init = (jnp.zeros((f, f), diag.dtype), jnp.zeros((f,), diag.dtype))
+    _, (Cps, dps) = jax.lax.scan(fwd, init, (lower, diag, upper, rhs))
+
+    def bwd(x_next, inp):
+        Cp, dp = inp
+        x = dp - Cp @ x_next
+        return x, x
+
+    _, xs = jax.lax.scan(bwd, jnp.zeros((f,), diag.dtype),
+                         (Cps, dps), reverse=True)
+    return xs
+
+
+def block_tridiag_solve_cr(lower, diag, upper, rhs):
+    """Block cyclic reduction: exact direct solve in log2(N) fully-batched
+    levels — each level is a set of small batched matmuls/solves that XLA
+    maps onto the TPU vector/matrix units, unlike the inherently sequential
+    Thomas recursion.
+    """
+    dtype = diag.dtype
+    N, f, _ = diag.shape
+
+    def pad_rows(A, B, C, D, n_pad):
+        if n_pad == 0:
+            return A, B, C, D
+        eye = jnp.broadcast_to(jnp.eye(f, dtype=dtype), (n_pad, f, f))
+        zed = jnp.zeros((n_pad, f, f), dtype)
+        zvec = jnp.zeros((n_pad, f), dtype)
+        return (jnp.concatenate([A, zed]), jnp.concatenate([B, eye]),
+                jnp.concatenate([C, zed]), jnp.concatenate([D, zvec]))
+
+    # pad to a power of two
+    M = 1
+    while M < N:
+        M *= 2
+    A, B, C, D = pad_rows(lower, diag, upper, rhs, M - N)
+
+    stack = []
+    while A.shape[0] > 1:
+        m = A.shape[0]
+        # ghost rows (identity) at both ends for the odd-neighbor accesses
+        eye1 = jnp.eye(f, dtype=dtype)[None]
+        zed1 = jnp.zeros((1, f, f), dtype)
+        zv1 = jnp.zeros((1, f), dtype)
+        Ap = jnp.concatenate([zed1, A, zed1])
+        Bp = jnp.concatenate([eye1, B, eye1])
+        Cp = jnp.concatenate([zed1, C, zed1])
+        Dp = jnp.concatenate([zv1, D, zv1])
+
+        ev = jnp.arange(0, m, 2) + 1   # even rows in padded indexing
+        od_lo = ev - 1                 # left odd neighbor
+        od_hi = ev + 1                 # right odd neighbor
+
+        # alpha = A_even @ inv(B_left);  gamma = C_even @ inv(B_right)
+        alpha = jnp.swapaxes(jnp.linalg.solve(
+            jnp.swapaxes(Bp[od_lo], 1, 2), jnp.swapaxes(Ap[ev], 1, 2)), 1, 2)
+        gamma = jnp.swapaxes(jnp.linalg.solve(
+            jnp.swapaxes(Bp[od_hi], 1, 2), jnp.swapaxes(Cp[ev], 1, 2)), 1, 2)
+
+        A_new = -alpha @ Ap[od_lo]
+        B_new = Bp[ev] - alpha @ Cp[od_lo] - gamma @ Ap[od_hi]
+        C_new = -gamma @ Cp[od_hi]
+        D_new = (Dp[ev]
+                 - jnp.einsum("nij,nj->ni", alpha, Dp[od_lo])
+                 - jnp.einsum("nij,nj->ni", gamma, Dp[od_hi]))
+
+        stack.append((A, B, C, D))
+        A, B, C, D = A_new, B_new, C_new, D_new
+
+    x = jnp.linalg.solve(B, D[..., None])[..., 0]   # (1, f)
+
+    # back substitution: interleave odd solutions level by level
+    for A_l, B_l, C_l, D_l in reversed(stack):
+        m = A_l.shape[0]
+        x_even = x                                   # (m/2, f)
+        # odd row i (global 2j+1) between even x_j and x_{j+1}
+        x_right = jnp.concatenate(
+            [x_even[1:], jnp.zeros((1, f), dtype)], axis=0)
+        od = jnp.arange(1, m, 2)
+        rhs_od = (D_l[od]
+                  - jnp.einsum("nij,nj->ni", A_l[od], x_even)
+                  - jnp.einsum("nij,nj->ni", C_l[od], x_right))
+        x_odd = jnp.linalg.solve(B_l[od], rhs_od[..., None])[..., 0]
+        x = jnp.stack([x_even, x_odd], axis=1).reshape(m, f)
+
+    return x[:N]
+
+
+# ---------------------------------------------------------------------------
+# Preconditioners
+# ---------------------------------------------------------------------------
+
+def block_jacobi_preconditioner(ell: BlockELL) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """M^{-1} z with M = block diagonal of the matrix; z, out: (N, f)."""
+    Dinv = jnp.linalg.inv(ell.diag_blocks())
+
+    def apply(z):
+        return jnp.einsum("nfg,ng->nf", Dinv, z)
+
+    return apply
+
+
+# ---------------------------------------------------------------------------
+# Krylov solvers
+# ---------------------------------------------------------------------------
+
+class KrylovResult(NamedTuple):
+    x: jnp.ndarray
+    resnorm: jnp.ndarray
+    iters: jnp.ndarray
+    converged: jnp.ndarray
+
+
+def _norm(v):
+    return jnp.sqrt(jnp.sum(v * v))
+
+
+def gmres(
+    matvec: Callable,
+    b: jnp.ndarray,
+    Minv: Optional[Callable] = None,
+    x0: Optional[jnp.ndarray] = None,
+    tol: float = 1e-8,
+    atol: float = 0.0,
+    restart: int = 30,
+    maxiter: int = 300,
+) -> KrylovResult:
+    """Right-preconditioned restarted GMRES with Givens-rotation residual
+    tracking.  Operates on arbitrarily-shaped pytree-free arrays (flattened
+    internally).  Stops when ||r|| <= max(tol*||b||, atol).
+    """
+    shape = b.shape
+    n = b.size
+    dtype = b.dtype
+    bflat = b.reshape(-1)
+    if Minv is None:
+        Minv = lambda z: z
+    mv = lambda v: matvec(v.reshape(shape)).reshape(-1)
+    pc = lambda v: Minv(v.reshape(shape)).reshape(-1)
+
+    x = jnp.zeros(n, dtype) if x0 is None else x0.reshape(-1)
+    bnorm = _norm(bflat)
+    target = jnp.maximum(tol * bnorm, atol)
+    m = restart
+    max_cycles = max(1, -(-maxiter // m))
+
+    def cycle(state):
+        x, _, total_it, _ = state
+        r = bflat - mv(x)
+        beta = _norm(r)
+
+        V = jnp.zeros((m + 1, n), dtype).at[0].set(r / jnp.maximum(beta, 1e-300))
+        H = jnp.zeros((m + 1, m), dtype)
+        cs = jnp.zeros(m, dtype)
+        sn = jnp.zeros(m, dtype)
+        g = jnp.zeros(m + 1, dtype).at[0].set(beta)
+
+        def arnoldi_step(j, carry):
+            V, H, cs, sn, g, done, k = carry
+
+            def do(carry):
+                V, H, cs, sn, g, done, k = carry
+                w = mv(pc(V[j]))
+                # modified Gram-Schmidt
+                def mgs(i, wh):
+                    w, h = wh
+                    hij = jnp.where(i <= j, jnp.dot(V[i], w), 0.0)
+                    w = w - hij * V[i]
+                    return (w, h.at[i].set(hij))
+                w, hcol = jax.lax.fori_loop(
+                    0, m + 1, mgs, (w, jnp.zeros(m + 1, dtype)))
+                hlast = _norm(w)
+                hcol = hcol.at[j + 1].set(hlast)
+                V = V.at[j + 1].set(w / jnp.maximum(hlast, 1e-300))
+                # apply previous Givens rotations to the new column
+                def rot(i, hc):
+                    hi, hip = hc[i], hc[i + 1]
+                    upd = jnp.where(
+                        i < j,
+                        jnp.array([cs[i] * hi + sn[i] * hip,
+                                   -sn[i] * hi + cs[i] * hip]),
+                        jnp.array([hi, hip]))
+                    return hc.at[i].set(upd[0]).at[i + 1].set(upd[1])
+                hcol = jax.lax.fori_loop(0, m, rot, hcol)
+                # new rotation annihilating hcol[j+1]
+                denom = jnp.sqrt(hcol[j] ** 2 + hcol[j + 1] ** 2)
+                c = jnp.where(denom > 0, hcol[j] / jnp.maximum(denom, 1e-300), 1.0)
+                s = jnp.where(denom > 0, hcol[j + 1] / jnp.maximum(denom, 1e-300), 0.0)
+                hcol = hcol.at[j].set(c * hcol[j] + s * hcol[j + 1]).at[j + 1].set(0.0)
+                cs2 = cs.at[j].set(c)
+                sn2 = sn.at[j].set(s)
+                gj = g[j]
+                g2 = g.at[j].set(c * gj).at[j + 1].set(-s * gj)
+                H2 = H.at[:, j].set(hcol[:m + 1])
+                done2 = jnp.abs(g2[j + 1]) <= target
+                return (V, H2, cs2, sn2, g2, done2, k + 1)
+
+            return jax.lax.cond(done, lambda c: c, do,
+                                (V, H, cs, sn, g, done, k))
+
+        V, H, cs, sn, g, done, k = jax.lax.fori_loop(
+            0, m, arnoldi_step,
+            (V, H, cs, sn, g, beta <= target, jnp.array(0, jnp.int32)))
+
+        # solve the triangular system H[:k,:k] y = g[:k] (k unknown at trace
+        # time -> mask): use full m x m with identity padding on unused rows.
+        used = jnp.arange(m) < k
+        Hsq = H[:m, :m]
+        Hsq = jnp.where(used[None, :] & used[:, None], Hsq,
+                        jnp.eye(m, dtype=dtype))
+        gv = jnp.where(used, g[:m], 0.0)
+        y = jax.scipy.linalg.solve_triangular(Hsq, gv, lower=False)
+        dx = pc(V[:m].T @ y)
+        x_new = x + dx
+        rnorm = _norm(bflat - mv(x_new))
+        return (x_new, rnorm, total_it + k, rnorm <= target)
+
+    def cond(state):
+        _, rnorm, total_it, conv = state
+        return (~conv) & (total_it < maxiter)
+
+    init = (x, jnp.asarray(jnp.inf, dtype), jnp.array(0, jnp.int32),
+            jnp.asarray(False))
+    x, rnorm, iters, conv = jax.lax.while_loop(cond, cycle, init)
+    return KrylovResult(x.reshape(shape), rnorm, iters, conv)
+
+
+def bicgstab(
+    matvec: Callable,
+    b: jnp.ndarray,
+    Minv: Optional[Callable] = None,
+    x0: Optional[jnp.ndarray] = None,
+    tol: float = 1e-8,
+    atol: float = 0.0,
+    maxiter: int = 500,
+) -> KrylovResult:
+    """Preconditioned BiCGStab (right preconditioning)."""
+    shape = b.shape
+    dtype = b.dtype
+    bflat = b.reshape(-1)
+    if Minv is None:
+        Minv = lambda z: z
+    mv = lambda v: matvec(v.reshape(shape)).reshape(-1)
+    pc = lambda v: Minv(v.reshape(shape)).reshape(-1)
+
+    x = jnp.zeros_like(bflat) if x0 is None else x0.reshape(-1)
+    r = bflat - mv(x)
+    rhat = r
+    bnorm = _norm(bflat)
+    target = jnp.maximum(tol * bnorm, atol)
+
+    def cond(st):
+        x, r, p, v, rho, alpha, omega, it = st
+        return (_norm(r) > target) & (it < maxiter)
+
+    def body(st):
+        x, r, p, v, rho, alpha, omega, it = st
+        rho_new = jnp.dot(rhat, r)
+        beta = (rho_new / jnp.where(rho == 0, 1e-300, rho)) * (
+            alpha / jnp.where(omega == 0, 1e-300, omega))
+        p = r + beta * (p - omega * v)
+        phat = pc(p)
+        v = mv(phat)
+        alpha = rho_new / jnp.where(jnp.dot(rhat, v) == 0, 1e-300,
+                                    jnp.dot(rhat, v))
+        s = r - alpha * v
+        shat = pc(s)
+        t = mv(shat)
+        omega = jnp.dot(t, s) / jnp.where(jnp.dot(t, t) == 0, 1e-300,
+                                          jnp.dot(t, t))
+        x = x + alpha * phat + omega * shat
+        r = s - omega * t
+        return (x, r, p, v, rho_new, alpha, omega, it + 1)
+
+    zeros = jnp.zeros_like(bflat)
+    one = jnp.asarray(1.0, dtype)
+    st = jax.lax.while_loop(
+        cond, body, (x, r, zeros, zeros, one, one, one,
+                     jnp.array(0, jnp.int32)))
+    x, r, *_, it = st
+    rnorm = _norm(r)
+    return KrylovResult(x.reshape(shape), rnorm, it, rnorm <= target)
+
+
+def dense_solve(ell: BlockELL, rhs: jnp.ndarray) -> jnp.ndarray:
+    """Direct dense solve (tests / small systems)."""
+    N, _, f, _ = ell.blocks.shape
+    x = jnp.linalg.solve(ell.to_dense(), rhs.reshape(-1))
+    return x.reshape(N, f)

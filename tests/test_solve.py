@@ -1,0 +1,197 @@
+"""Solver tests: block-tridiagonal direct solves (CR vs Thomas vs dense),
+Krylov solvers vs scipy, Newton on manufactured nonlinear problems."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gmpnp_tpu.fem import DirichletBC, FemSpace, WeakForm
+from gmpnp_tpu.fem.assembly import BlockELL
+from gmpnp_tpu.mesh import uniform_interval_mesh
+from gmpnp_tpu.solve import (
+    bicgstab,
+    block_jacobi_preconditioner,
+    block_tridiag_from_ell,
+    block_tridiag_solve_cr,
+    block_tridiag_solve_thomas,
+    dense_solve,
+    gmres,
+    newton_solve,
+)
+
+
+def _random_block_tridiag(N, f, seed=0):
+    rng = np.random.default_rng(seed)
+    lower = rng.normal(size=(N, f, f)) * 0.2
+    upper = rng.normal(size=(N, f, f)) * 0.2
+    diag = rng.normal(size=(N, f, f)) * 0.2
+    diag += 3.0 * np.eye(f)  # diagonally dominant
+    lower[0] = 0.0
+    upper[-1] = 0.0
+    rhs = rng.normal(size=(N, f))
+    return (jnp.asarray(lower), jnp.asarray(diag), jnp.asarray(upper),
+            jnp.asarray(rhs))
+
+
+def _tridiag_to_dense(lower, diag, upper):
+    N, f, _ = diag.shape
+    A = np.zeros((N * f, N * f))
+    for i in range(N):
+        A[i*f:(i+1)*f, i*f:(i+1)*f] = diag[i]
+        if i > 0:
+            A[i*f:(i+1)*f, (i-1)*f:i*f] = lower[i]
+        if i < N - 1:
+            A[i*f:(i+1)*f, (i+1)*f:(i+2)*f] = upper[i]
+    return A
+
+
+@pytest.mark.parametrize("N,f", [(5, 1), (17, 3), (64, 7), (100, 2)])
+def test_block_tridiag_thomas_and_cr(N, f):
+    lower, diag, upper, rhs = _random_block_tridiag(N, f)
+    A = _tridiag_to_dense(np.asarray(lower), np.asarray(diag), np.asarray(upper))
+    x_ref = np.linalg.solve(A, np.asarray(rhs).reshape(-1)).reshape(N, f)
+
+    x_thomas = np.asarray(block_tridiag_solve_thomas(lower, diag, upper, rhs))
+    np.testing.assert_allclose(x_thomas, x_ref, rtol=1e-9, atol=1e-10)
+
+    x_cr = np.asarray(block_tridiag_solve_cr(lower, diag, upper, rhs))
+    np.testing.assert_allclose(x_cr, x_ref, rtol=1e-9, atol=1e-10)
+
+
+def test_tridiag_extraction_from_ell():
+    """ELL from a real 1D assembly -> bands -> solve == dense solve."""
+    m = uniform_interval_mesh(9)
+    m = m.with_markers(np.zeros(len(m.facets), dtype=np.int32))
+    sp = FemSpace.build(m, 2, quad_degree=2)
+
+    def vol(u, gu, up, x, th):
+        return (u - up + u * u[::-1] * 0.1, gu * (1 + 0.05 * u[:, None]))
+
+    form = WeakForm(2, vol)
+    rng = np.random.default_rng(7)
+    u = jnp.asarray(rng.uniform(0.8, 1.2, size=(m.num_vertices, 2)))
+    ell = sp.jacobian(form, u, u, None)
+    rhs = jnp.asarray(rng.normal(size=(m.num_vertices, 2)))
+
+    lower, diag, upper = block_tridiag_from_ell(ell)
+    x_band = np.asarray(block_tridiag_solve_cr(lower, diag, upper, rhs))
+    x_dense = np.asarray(dense_solve(ell, rhs))
+    np.testing.assert_allclose(x_band, x_dense, rtol=1e-9, atol=1e-11)
+
+
+def _random_sparse_system(N=40, f=3, seed=1):
+    """Random diagonally-dominant BlockELL via a 1D assembly pattern."""
+    m = uniform_interval_mesh(N)
+    m = m.with_markers(np.zeros(len(m.facets), dtype=np.int32))
+    sp = FemSpace.build(m, f, quad_degree=2)
+    form = WeakForm(f, lambda u, gu, up, x, th: (u * 3.0, gu))
+    u = jnp.ones((m.num_vertices, f))
+    ell = sp.jacobian(form, u, u, None)
+    rng = np.random.default_rng(seed)
+    b = jnp.asarray(rng.normal(size=(m.num_vertices, f)))
+    return ell, b
+
+
+def test_gmres_vs_dense():
+    ell, b = _random_sparse_system()
+    x_ref = np.asarray(dense_solve(ell, b))
+    pc = block_jacobi_preconditioner(ell)
+    res = gmres(ell.matvec, b, Minv=pc, tol=1e-10, restart=25, maxiter=500)
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.x), x_ref, rtol=1e-6, atol=1e-8)
+
+
+def test_bicgstab_vs_dense():
+    ell, b = _random_sparse_system(seed=2)
+    x_ref = np.asarray(dense_solve(ell, b))
+    pc = block_jacobi_preconditioner(ell)
+    res = bicgstab(ell.matvec, b, Minv=pc, tol=1e-10, maxiter=1000)
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.x), x_ref, rtol=1e-6, atol=1e-8)
+
+
+def test_gmres_unpreconditioned():
+    ell, b = _random_sparse_system(seed=3)
+    x_ref = np.asarray(dense_solve(ell, b))
+    res = gmres(ell.matvec, b, tol=1e-10, restart=40, maxiter=2000)
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.x), x_ref, rtol=1e-6, atol=1e-8)
+
+
+# ---------------------------------------------------------------------------
+# Newton
+# ---------------------------------------------------------------------------
+
+def test_newton_scalar_quadratic():
+    """Newton on F(u) = u^2 - 2 elementwise (direct dense linear solve)."""
+    def residual(u):
+        return u * u - 2.0
+
+    def lin(u, r):
+        J = 2.0 * u
+        return r / J, jnp.array(0, jnp.int32)
+
+    u0 = jnp.full((5, 1), 3.0)
+    res = newton_solve(residual, lin, u0, rtol=1e-14, atol=1e-14, max_iter=50)
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.u), np.sqrt(2.0), rtol=1e-12)
+
+
+def test_newton_fem_nonlinear_poisson():
+    """-(u u')' = f on (0,1), u(0)=1, u(1)=2; manufactured u* = sqrt(1+3x).
+
+    With u* = sqrt(1+3x): u u' = 3/2 => (u u')' = 0, so f = 0 and the PDE is
+    -(u u')' = 0 with those BCs.
+    """
+    n = 64
+    m = uniform_interval_mesh(n)
+    m = m.with_markers(np.zeros(len(m.facets), dtype=np.int32))
+    sp = FemSpace.build(m, 1, quad_degree=3)
+    form = WeakForm(1, lambda u, gu, up, x, th: (jnp.zeros(1), u[:, None] * gu))
+    bc = DirichletBC.from_vertex_sets(
+        m.num_vertices, 1, [(np.array([0]), 0, 1.0), (np.array([n]), 0, 2.0)])
+
+    def residual(u):
+        return bc.apply_to_residual(sp.residual(form, u, u, None), u)
+
+    def lin(u, r):
+        ell = bc.apply_to_jacobian(sp.jacobian(form, u, u, None))
+        lo, di, up_ = block_tridiag_from_ell(ell)
+        return block_tridiag_solve_cr(lo, di, up_, r), jnp.array(0, jnp.int32)
+
+    u0 = bc.project(jnp.ones((m.num_vertices, 1)))
+    res = newton_solve(residual, lin, u0, rtol=1e-12, atol=1e-12, max_iter=30)
+    assert bool(res.converged)
+    x = np.asarray(m.points[:, 0])
+    exact = np.sqrt(1.0 + 3.0 * x)
+    np.testing.assert_allclose(np.asarray(res.u)[:, 0], exact, atol=2e-4)
+
+
+def test_newton_relaxation_and_iteration_count():
+    def residual(u):
+        return u - 5.0
+
+    def lin(u, r):
+        return r, jnp.array(0, jnp.int32)
+
+    # relaxation 0.5 on a linear problem: error halves each iteration
+    u0 = jnp.zeros((1,))
+    res = newton_solve(residual, lin, u0, rtol=1e-10, atol=1e-10,
+                      max_iter=100, relaxation=0.5)
+    assert bool(res.converged)
+    assert int(res.iterations) > 10  # geometric convergence, not 1 step
+    np.testing.assert_allclose(float(res.u[0]), 5.0, rtol=1e-9)
+
+
+def test_newton_reports_nonconvergence():
+    def residual(u):
+        return jnp.ones_like(u)  # never zero
+
+    def lin(u, r):
+        return jnp.zeros_like(r), jnp.array(0, jnp.int32)
+
+    res = newton_solve(residual, lin, jnp.zeros((3,)), rtol=1e-12, atol=1e-12,
+                      max_iter=7)
+    assert not bool(res.converged)
+    assert int(res.iterations) == 7
