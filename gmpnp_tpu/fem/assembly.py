@@ -182,7 +182,7 @@ class FemSpace:
     # -- local kernels -------------------------------------------------------
 
     def _local_volume_residual(self, form: WeakForm, u_e, u_prev_e,
-                               gradN_c, vol_c, xq_c, theta):
+                               gradN_c, vol_c, xq_c, theta, aux_e=None):
         """Element residual (nv, fields) for one element."""
         # grad u (fields, dim): constant over the P1 element
         grad_u = jnp.einsum("af,ad->fd", u_e, gradN_c)
@@ -190,7 +190,11 @@ class FemSpace:
         def at_q(Nq_q, x_q):
             u_q = Nq_q @ u_e           # (fields,)
             up_q = Nq_q @ u_prev_e
-            fval, fgrad = form.volume(u_q, grad_u, up_q, x_q, theta)
+            if form.n_aux:
+                aux_q = Nq_q @ aux_e
+                fval, fgrad = form.volume(u_q, grad_u, up_q, aux_q, x_q, theta)
+            else:
+                fval, fgrad = form.volume(u_q, grad_u, up_q, x_q, theta)
             # (nv, fields): fval tested with N_a, fgrad with grad N_a
             return (jnp.outer(Nq_q, fval)
                     + jnp.einsum("ad,fd->af", gradN_c, fgrad))
@@ -211,14 +215,23 @@ class FemSpace:
 
     # -- global assembly -----------------------------------------------------
 
-    def residual(self, form: WeakForm, u, u_prev, theta) -> jnp.ndarray:
-        """Assembled residual (N, fields)."""
+    def residual(self, form: WeakForm, u, u_prev, theta,
+                 aux=None) -> jnp.ndarray:
+        """Assembled residual (N, fields); ``aux`` (N, n_aux) when the form
+        declares auxiliary fields."""
         u_e = u[self.cells]            # (C, nv, fields)
         up_e = u_prev[self.cells]
-        r_e = jax.vmap(
-            lambda ue, upe, g, v, x: self._local_volume_residual(
-                form, ue, upe, g, v, x, theta)
-        )(u_e, up_e, self.gradN, self.vols, self.xq)
+        if form.n_aux:
+            aux_e = aux[self.cells]
+            r_e = jax.vmap(
+                lambda ue, upe, ax, g, v, x: self._local_volume_residual(
+                    form, ue, upe, g, v, x, theta, ax)
+            )(u_e, up_e, aux_e, self.gradN, self.vols, self.xq)
+        else:
+            r_e = jax.vmap(
+                lambda ue, upe, g, v, x: self._local_volume_residual(
+                    form, ue, upe, g, v, x, theta)
+            )(u_e, up_e, self.gradN, self.vols, self.xq)
         r = jnp.zeros((self.num_vertices, self.n_fields), dtype=u.dtype)
         r = r.at[self.cells].add(r_e)
 
@@ -234,21 +247,33 @@ class FemSpace:
             r = r.at[tab["nodes"]].add(rf)
         return r
 
-    def jacobian(self, form: WeakForm, u, u_prev, theta) -> BlockELL:
-        """Assembled Jacobian dF/du as BlockELL."""
+    def jacobian(self, form: WeakForm, u, u_prev, theta, aux=None) -> BlockELL:
+        """Assembled Jacobian dF/du as BlockELL (aux never differentiated)."""
         f = self.n_fields
         N = self.num_vertices
         K = self.adj.shape[1]
         nv = self.cells.shape[1]
 
-        def local_jac(ue, upe, g, v, x):
-            fn = lambda uu: self._local_volume_residual(
-                form, uu, upe, g, v, x, theta)
-            J = jax.jacfwd(fn)(ue)     # (nv, f, nv, f)
-            return jnp.transpose(J, (0, 2, 1, 3))  # (nv_row, nv_col, f, f)
+        if form.n_aux:
+            def local_jac(ue, upe, ax, g, v, x):
+                fn = lambda uu: self._local_volume_residual(
+                    form, uu, upe, g, v, x, theta, ax)
+                J = jax.jacfwd(fn)(ue)
+                return jnp.transpose(J, (0, 2, 1, 3))
 
-        J_e = jax.vmap(local_jac)(
-            u[self.cells], u_prev[self.cells], self.gradN, self.vols, self.xq)
+            J_e = jax.vmap(local_jac)(
+                u[self.cells], u_prev[self.cells], aux[self.cells],
+                self.gradN, self.vols, self.xq)
+        else:
+            def local_jac(ue, upe, g, v, x):
+                fn = lambda uu: self._local_volume_residual(
+                    form, uu, upe, g, v, x, theta)
+                J = jax.jacfwd(fn)(ue)     # (nv, f, nv, f)
+                return jnp.transpose(J, (0, 2, 1, 3))  # (row, col, f, f)
+
+            J_e = jax.vmap(local_jac)(
+                u[self.cells], u_prev[self.cells], self.gradN, self.vols,
+                self.xq)
 
         blocks = jnp.zeros((N, K, f, f), dtype=u.dtype)
         rows = self.cells[:, :, None].repeat(nv, axis=2)   # (C, nv, nv)

@@ -49,6 +49,13 @@ class WeakForm:
         ``ds`` integrates over *both* endpoints (the Dirichlet row at x=1
         subsequently overwrites that contribution) — models reproduce this by
         registering the same integrand for both endpoint markers.
+
+    ``n_aux`` > 0 declares auxiliary P1 vertex fields (e.g. the SUPG
+    stabilization parameters rho_i, which the reference rebuilds per step
+    from the previous potential, 1D/MPNP_CO2ER_EDL.py:650-714).  When set,
+    the volume signature gains an ``aux`` argument after ``u_prev``:
+    ``volume(u, grad_u, u_prev, aux, x, theta)``; aux is interpolated at
+    quadrature points like ``u`` but never differentiated.
     """
 
     def __init__(
@@ -56,7 +63,9 @@ class WeakForm:
         n_fields: int,
         volume: VolumeFn,
         boundary: Optional[Dict[int, BoundaryFn]] = None,
+        n_aux: int = 0,
     ):
         self.n_fields = n_fields
         self.volume = volume
         self.boundary = dict(boundary or {})
+        self.n_aux = n_aux

@@ -1,0 +1,176 @@
+"""Implicit time integration driver.
+
+Backward-Euler transient as a ``lax.scan`` over steps, with a damped Newton
+solve per step — the whole transient compiles to one XLA program (no host
+round-trips, unlike the reference's Python time loop around
+``solve(F==0, ...)``, 1D/rxn_diff_planar.py:324-362).
+
+Data-dependent per-step behavior of the reference — staged dt schedules
+(1D/MPNP_CO2ER_EDL.py:270-290), the H_OHP feedback controller (:770-793),
+Sechenov Dirichlet updates (3D/MPNP_CO2ER_pore.py:815-838) — enters through
+``theta``: a pytree of traced scalars produced per step by a model-supplied
+carry update, so none of it triggers recompilation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gmpnp_tpu.fem.assembly import FemSpace
+from gmpnp_tpu.fem.dirichlet import DirichletBC
+from gmpnp_tpu.fem.forms import WeakForm
+from gmpnp_tpu.solve.linear import (
+    block_jacobi_preconditioner,
+    block_tridiag_from_ell,
+    block_tridiag_solve_cr,
+    block_tridiag_solve_thomas,
+    dense_solve,
+    gmres,
+    bicgstab,
+)
+from gmpnp_tpu.solve.newton import NewtonResult, newton_solve
+
+
+@dataclass(frozen=True)
+class NewtonConfig:
+    """Mirror of the reference solver_parameters newton_solver blocks."""
+    max_iter: int = 50
+    rtol: float = 1.0e-4
+    atol: float = 1.0e-4
+    relaxation: float = 1.0
+
+
+@dataclass(frozen=True)
+class LinearConfig:
+    """Linear-solver selection per model.
+
+    kind: 'tridiag_cr' (1D direct, TPU path), 'tridiag_thomas' (1D oracle),
+    'dense' (small systems), 'gmres', 'bicgstab' (3D iterative, replacing
+    MUMPS).
+    """
+    kind: str = "tridiag_cr"
+    tol: float = 1.0e-8
+    atol: float = 0.0
+    restart: int = 30
+    maxiter: int = 300
+
+
+class StepStats(NamedTuple):
+    newton_iters: jnp.ndarray
+    converged: jnp.ndarray
+    residual_norm: jnp.ndarray
+    linear_iters: jnp.ndarray
+
+
+def make_linear_solver(space: FemSpace, form: WeakForm, cfg: LinearConfig):
+    """(bc, u_prev, theta) -> callable (u, r) -> (du, linear_iters)."""
+
+    def solver(bc: DirichletBC, u_prev, theta):
+        aux = theta.get("_aux") if isinstance(theta, dict) else None
+
+        def lin(u, r):
+            ell = bc.apply_to_jacobian(
+                space.jacobian(form, u, u_prev, theta, aux=aux))
+            zero = jnp.array(0, jnp.int32)
+            if cfg.kind == "tridiag_cr":
+                lo, di, up = block_tridiag_from_ell(ell)
+                return block_tridiag_solve_cr(lo, di, up, r), zero
+            if cfg.kind == "tridiag_thomas":
+                lo, di, up = block_tridiag_from_ell(ell)
+                return block_tridiag_solve_thomas(lo, di, up, r), zero
+            if cfg.kind == "dense":
+                return dense_solve(ell, r), zero
+            pc = block_jacobi_preconditioner(ell)
+            if cfg.kind == "gmres":
+                res = gmres(ell.matvec, r, Minv=pc, tol=cfg.tol,
+                            atol=cfg.atol, restart=cfg.restart,
+                            maxiter=cfg.maxiter)
+            elif cfg.kind == "bicgstab":
+                res = bicgstab(ell.matvec, r, Minv=pc, tol=cfg.tol,
+                               atol=cfg.atol, maxiter=cfg.maxiter)
+            else:
+                raise ValueError(f"unknown linear solver {cfg.kind!r}")
+            return res.x, res.iters
+
+        return lin
+
+    return solver
+
+
+def make_implicit_step(
+    space: FemSpace,
+    form: WeakForm,
+    newton_cfg: NewtonConfig,
+    linear_cfg: LinearConfig,
+    bc_of_theta: Callable[[Any], DirichletBC],
+):
+    """Build the per-step solve: (u_prev, theta) -> (u_new, StepStats)."""
+    lin_builder = make_linear_solver(space, form, linear_cfg)
+
+    def step(u_prev: jnp.ndarray, theta) -> Tuple[jnp.ndarray, StepStats]:
+        bc = bc_of_theta(theta)
+        aux = theta.get("_aux") if isinstance(theta, dict) else None
+
+        def residual(u):
+            return bc.apply_to_residual(
+                space.residual(form, u, u_prev, theta, aux=aux), u)
+
+        lin = lin_builder(bc, u_prev, theta)
+        res = newton_solve(
+            residual, lin, bc.project(u_prev),
+            rtol=newton_cfg.rtol, atol=newton_cfg.atol,
+            max_iter=newton_cfg.max_iter,
+            relaxation=newton_cfg.relaxation)
+        stats = StepStats(
+            newton_iters=res.iterations,
+            converged=res.converged,
+            residual_norm=res.residual_norm,
+            linear_iters=res.linear_iters)
+        return res.u, stats
+
+    return step
+
+
+def run_transient(
+    step: Callable,
+    carry0,
+    n_steps: int,
+    update_carry: Optional[Callable] = None,
+    theta_of_carry: Optional[Callable] = None,
+    record: Optional[Callable] = None,
+    jit: bool = True,
+):
+    """Generic transient driver.
+
+    carry = (u, extra); per step:
+        theta = theta_of_carry(carry, step_index)
+        u_new, stats = step(u, theta)
+        extra_new = update_carry(extra, u_new, step_index)
+        y = record(u_new, stats)
+
+    Returns (final_carry, stacked_ys).
+    """
+    if update_carry is None:
+        update_carry = lambda extra, u, i: extra
+    if theta_of_carry is None:
+        theta_of_carry = lambda carry, i: None
+    if record is None:
+        record = lambda u, stats: (u, stats)
+
+    def body(carry, i):
+        u, extra = carry
+        theta = theta_of_carry((u, extra), i)
+        u_new, stats = step(u, theta)
+        extra_new = update_carry(extra, u_new, i)
+        return (u_new, extra_new), record(u_new, stats)
+
+    def run(carry0):
+        return jax.lax.scan(body, carry0, jnp.arange(n_steps))
+
+    if jit:
+        run = jax.jit(run)
+    return run(carry0)
