@@ -65,6 +65,7 @@ class EDL1DConfig:
     params_file: Optional[str] = None
     dry_run: bool = True
     # framework knobs
+    include_reactions: bool = True   # False: pure (M)PNP equilibrium studies
     quad_degree: int = 3
     faithful_supg: bool = True   # reproduce the grad(u_H) slip in the OH
                                  # SUPG row (ref :697); False corrects it
@@ -245,8 +246,10 @@ def build(cfg: EDL1DConfig) -> EDL1DProgram:
         hyd = (w_cat * u[5] * C0_cat + w_H * u[0] * C0_H) * 1.0e-3
         return eps_rel * (55.0 - hyd) / 55.0 + 6.0 * hyd / 55.0
 
+    include_R = cfg.include_reactions
+
     def volume_core(u, gu, up, aux, x, theta):
-        R = kin(u[:6])
+        R = kin(u[:6]) if include_R else jnp.zeros(6)
         fval_c = (u[:6] - up[:6]) / (theta["dt"] * L_D) - R
         # diffusion + migration (z=0 species lose the migration term)
         fgrad_c = gu[:6] + z[:, None] * u[:6, None] * gu[P][None, :]
