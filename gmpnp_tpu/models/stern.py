@@ -171,13 +171,15 @@ def run(
         if write:
             paths = make_run_dir(f"voltage_scaled_OHP{v}", out_root=out_root,
                                  subdir="Stern")
+            # positional arrays (arr_0, arr_1, ...) to match the
+            # reference's np.savez calls (ref :108-109,:156)
             if model == "BDM":
-                save_npz(paths.file(f"stern_unscaled_BDM{v}.npz"),
+                np.savez(paths.file(f"stern_unscaled_BDM{v}.npz"),
                          np.stack([res["potential"], -res["field"]], axis=1))
-                save_npz(paths.file(f"stern_scaled_BDM{v}.npz"),
+                np.savez(paths.file(f"stern_scaled_BDM{v}.npz"),
                          res["x_scaled"], res["potential"], res["field"])
             else:
-                save_npz(paths.file(f"stern_scaled_linear{v}.npz"),
+                np.savez(paths.file(f"stern_scaled_linear{v}.npz"),
                          res["x_scaled"], res["potential"])
             _write_metadata_txt(paths.file("metadata.txt"), res)
             if make_plots:
