@@ -1,0 +1,60 @@
+"""CLI for the 1D PNP/GMPNP EDL model.
+
+Flags mirror 1D/MPNP_CO2ER_EDL.py:992-1103 (including the reference's
+``--dry_run`` smoke mode, :1094-1101).
+"""
+
+import argparse
+
+from gmpnp_tpu.models import edl_1d
+
+
+def _bool(v):
+    return str(v).lower() not in ("false", "0", "no", "")
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="experiment parameters")
+    p.add_argument("--concentration_elec", type=float, default=0.1)
+    p.add_argument("--model", type=str, default="MPNP", help="PNP/MPNP")
+    p.add_argument("--voltage_multiplier", type=float, default=-1.0,
+                   help="thermal-voltage multiplier at the OHP")
+    p.add_argument("--mesh_structure", type=str, default="variable")
+    p.add_argument("--H2_FE", type=float, default=0.2)
+    p.add_argument("--current_OHP_ss", type=float, default=10.0)
+    p.add_argument("--L_n", type=float, default=50.0e-6)
+    p.add_argument("--stabilization", type=str, default="N", help="SUPG Y/N")
+    p.add_argument("--H_OHP", type=float, default=None,
+                   help="proton buildup target at the OHP (None/1.1/2.0)")
+    p.add_argument("--cation", type=str, default="K", help="K/Cs/Li/Na")
+    p.add_argument("--params_file", type=str, default="parameters")
+    p.add_argument("--dry_run", type=_bool, default=True,
+                   help="100-step smoke run")
+    p.add_argument("--out_root", type=str, default=None)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    cfg = edl_1d.EDL1DConfig(
+        concentration_elec=args.concentration_elec,
+        model=args.model,
+        voltage_multiplier=args.voltage_multiplier,
+        H2_FE=args.H2_FE,
+        mesh_structure=args.mesh_structure,
+        current_OHP_ss=args.current_OHP_ss,
+        L_n=args.L_n,
+        stabilization=args.stabilization,
+        H_OHP=args.H_OHP,
+        cation=args.cation,
+        params_file=(None if args.params_file == "parameters"
+                     else args.params_file),
+        dry_run=args.dry_run,
+    )
+    res = edl_1d.run(cfg, out_root=args.out_root)
+    print(res["run_dir"])
+    return res
+
+
+if __name__ == "__main__":
+    main()

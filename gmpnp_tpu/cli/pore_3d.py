@@ -1,0 +1,79 @@
+"""CLI for the 3D GMPNP pore model.
+
+Flags mirror 3D/MPNP_CO2ER_pore.py:1088-1235.
+"""
+
+import argparse
+
+from gmpnp_tpu.models import pore_3d
+
+
+def add_common_pore_args(p):
+    p.add_argument("--concentration_elec", type=float, default=1.0)
+    p.add_argument("--H2_FE", type=float, default=0.05)
+    p.add_argument("--current_rough", type=float, default=3000.0,
+                   help="steady state current in A/m2 (300 mA/cm2)")
+    p.add_argument("--L", type=float, default=100e-9, help="cylinder length")
+    p.add_argument("--R", type=float, default=5e-9, help="cylinder radius")
+    p.add_argument("--cation", type=str, default="K")
+    p.add_argument("--porosity_eff", type=float, default=0.5)
+    p.add_argument("--tortuosity_eff", type=float, default=1.5)
+    p.add_argument("--constrictivity_eff", type=float, default=0.9)
+    p.add_argument("--press_gas", type=float, default=1.0)
+    p.add_argument("--pore_geom_multiplier", type=float, default=1.0)
+    p.add_argument("--electrolyte_flow_geom_multiplier", type=float,
+                   default=1.0)
+    p.add_argument("--params_file", type=str, default="parameters_pore")
+    p.add_argument("--y_CO2", type=float, default=0.95)
+    p.add_argument("--roughness_factor", type=float, default=150.0)
+    p.add_argument("--out_root", type=str, default=None)
+    p.add_argument("--n_steps", type=int, default=None,
+                   help="override number of time steps (debug)")
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="experiment parameters")
+    p.add_argument("--voltage_multiplier", type=float, default=-1.0)
+    p.add_argument("--corrected_fluxes", action="store_true",
+                   help="include the wall/exit Neumann fluxes the published "
+                        "script orphans (see models.pore_3d docstring)")
+    add_common_pore_args(p)
+    return p
+
+
+def config_from_args(args, physics):
+    kw = dict(
+        physics=physics,
+        concentration_elec=args.concentration_elec,
+        H2_FE=args.H2_FE,
+        current_rough=args.current_rough,
+        L=args.L,
+        R=args.R,
+        cation=args.cation,
+        press_gas=args.press_gas,
+        pore_geom_multiplier=args.pore_geom_multiplier,
+        porosity_eff=args.porosity_eff,
+        tortuosity_eff=args.tortuosity_eff,
+        constrictivity_eff=args.constrictivity_eff,
+        params_file=(None if args.params_file == "parameters_pore"
+                     else args.params_file),
+        y_CO2=args.y_CO2,
+        electrolyte_flow_geom_multiplier=args.electrolyte_flow_geom_multiplier,
+        roughness_factor=args.roughness_factor,
+    )
+    if physics == "GMPNP":
+        kw["voltage_multiplier"] = args.voltage_multiplier
+        kw["faithful"] = not args.corrected_fluxes
+    return pore_3d.Pore3DConfig(**kw)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args, "GMPNP")
+    res = pore_3d.run(cfg, out_root=args.out_root, n_steps=args.n_steps)
+    print(res["run_dir"])
+    return res
+
+
+if __name__ == "__main__":
+    main()

@@ -142,6 +142,7 @@ class FemSpace:
     slot: jnp.ndarray           # (C, nv, nv)
     facet_tabs: tuple           # ((marker, dict), ...) static ordering
     points: jnp.ndarray         # (N, dim) vertex coords
+    colors: np.ndarray = None   # (N,) greedy vertex coloring (host-side)
 
     @staticmethod
     def build(mesh: Mesh, n_fields: int, quad_degree: int = 3,
@@ -155,6 +156,8 @@ class FemSpace:
         adj, _ = vertex_adjacency(mesh.cells, mesh.num_vertices)
         diag_slot = np.argmax(adj == np.arange(len(adj))[:, None], axis=1)
         slot = _slot_table(mesh.cells, adj)
+        from gmpnp_tpu.solve.linear import greedy_vertex_coloring
+        colors = greedy_vertex_coloring(adj)
 
         ftabs = []
         for m, t in sorted(_facet_tables(mesh, facet_quad_degree).items()):
@@ -177,6 +180,7 @@ class FemSpace:
             slot=jnp.asarray(slot),
             facet_tabs=tuple(ftabs),
             points=jnp.asarray(mesh.points),
+            colors=colors,
         )
 
     # -- local kernels -------------------------------------------------------

@@ -162,6 +162,93 @@ def block_jacobi_preconditioner(ell: BlockELL) -> Callable[[jnp.ndarray], jnp.nd
     return apply
 
 
+def greedy_vertex_coloring(adj: "np.ndarray") -> "np.ndarray":
+    """Host-side greedy graph coloring of the (padded) adjacency table.
+
+    Adjacent vertices get different colors, so a Gauss-Seidel sweep can
+    update each color as one batched, order-independent operation — the
+    TPU-parallel replacement for the inherently sequential GS recursion.
+    Returns (N,) int32 colors.
+    """
+    import numpy as _np
+
+    N = adj.shape[0]
+    colors = _np.full(N, -1, dtype=_np.int32)
+    for v in range(N):
+        used = set(colors[u] for u in adj[v] if u != v and colors[u] >= 0)
+        c = 0
+        while c in used:
+            c += 1
+        colors[v] = c
+    return colors
+
+
+def multicolor_ssor_preconditioner(
+    ell: BlockELL,
+    colors: jnp.ndarray,
+    sweeps: int = 1,
+    omega: float = 1.0,
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Block-SSOR preconditioner via multicolor sweeps.
+
+    M = (D/w + L) (D/w)^{-1} (D/w + U); application solves the two
+    triangular block systems by sweeping the colors forward then backward —
+    each color is one batched block solve (all rows of a color are mutually
+    non-adjacent).  Much stronger than block-Jacobi on the reference's
+    3D coupled systems (condition ~1e6+) at ~2 matvecs per application.
+
+    ``colors`` comes from :func:`greedy_vertex_coloring` (host-side, once
+    per mesh).
+    """
+    import numpy as _np
+
+    N, K, f, _ = ell.blocks.shape
+    colors_np = _np.asarray(colors)
+    nc = int(colors_np.max()) + 1
+    color_lists = []
+    maxlen = max((colors_np == c).sum() for c in range(nc))
+    for c in range(nc):
+        verts = _np.nonzero(colors_np == c)[0]
+        # pad with the first vertex of the color: the padded rows compute
+        # the identical update value, so the duplicate scatter is benign
+        pad = _np.full(maxlen - len(verts), verts[0], dtype=_np.int64)
+        color_lists.append(jnp.asarray(_np.concatenate([verts, pad])))
+
+    D = ell.diag_blocks() / omega
+    Dinv = jnp.linalg.inv(D)
+    rows = jnp.arange(N)
+    # off-diagonal blocks only (zero out the diagonal slot)
+    offblocks = ell.blocks.at[rows, ell.diag_slot].set(0.0)
+
+    def offdiag_rows(z, verts):
+        """sum_k offblocks[v,k] z[adj[v,k]] for a vertex set."""
+        blk = offblocks[verts]          # (M, K, f, f)
+        zg = z[ell.adj[verts]]          # (M, K, f)
+        return jnp.einsum("mkfg,mkg->mf", blk, zg)
+
+    def sweep(z, r, order):
+        for c in order:
+            verts = color_lists[c]
+            rhs = r[verts] - offdiag_rows(z, verts)
+            znew = jnp.einsum("mfg,mg->mf", Dinv[verts], rhs)
+            z = z.at[verts].set(znew)
+        return z
+
+    def ssor_solve(r):
+        # forward: (D/w + L)^{-1} r  -> scale by D/w -> backward (D/w + U)^{-1}
+        z = sweep(jnp.zeros_like(r), r, range(nc))
+        z = jnp.einsum("nfg,ng->nf", D, z)
+        return sweep(jnp.zeros_like(r), z, range(nc - 1, -1, -1))
+
+    def apply(r):
+        z = ssor_solve(r)
+        for _ in range(sweeps - 1):   # extra sweeps = stationary iteration
+            z = z + ssor_solve(r - ell.matvec(z))
+        return z
+
+    return apply
+
+
 # ---------------------------------------------------------------------------
 # Krylov solvers
 # ---------------------------------------------------------------------------

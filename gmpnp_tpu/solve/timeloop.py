@@ -31,6 +31,7 @@ from gmpnp_tpu.solve.linear import (
     dense_solve,
     gmres,
     bicgstab,
+    multicolor_ssor_preconditioner,
 )
 from gmpnp_tpu.solve.newton import NewtonResult, newton_solve
 
@@ -57,6 +58,8 @@ class LinearConfig:
     atol: float = 0.0
     restart: int = 30
     maxiter: int = 300
+    precond: str = "block_jacobi"   # 'block_jacobi' | 'ssor'
+    ssor_sweeps: int = 1
 
 
 class StepStats(NamedTuple):
@@ -84,7 +87,11 @@ def make_linear_solver(space: FemSpace, form: WeakForm, cfg: LinearConfig):
                 return block_tridiag_solve_thomas(lo, di, up, r), zero
             if cfg.kind == "dense":
                 return dense_solve(ell, r), zero
-            pc = block_jacobi_preconditioner(ell)
+            if cfg.precond == "ssor":
+                pc = multicolor_ssor_preconditioner(
+                    ell, space.colors, sweeps=cfg.ssor_sweeps)
+            else:
+                pc = block_jacobi_preconditioner(ell)
             if cfg.kind == "gmres":
                 res = gmres(ell.matvec, r, Minv=pc, tol=cfg.tol,
                             atol=cfg.atol, restart=cfg.restart,

@@ -1,0 +1,186 @@
+"""End-to-end tests for the 3D pore models (GMPNP + rxn-diff).
+
+Validation layers:
+1. exact linear-in-z steady profile through tet assembly + markers + Robin
+   boundary Jacobians (machine precision),
+2. Sechenov moving-BC semantics (unit check of the per-step theta),
+3. cross-physics consistency: GMPNP at zero voltage approaches the neutral
+   rxn-diff fields (the reference's stated comparison methodology,
+   README.md:11),
+4. faithful (orphaned-flux) vs corrected GMPNP differ as documented,
+5. output contracts (npz/metadata/VTK).
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gmpnp_tpu.fem import DirichletBC, FemSpace, WeakForm
+from gmpnp_tpu.mesh import cylinder_mesh, pore_boundary_markers
+from gmpnp_tpu.models import pore_3d
+from gmpnp_tpu.solve.timeloop import (
+    LinearConfig,
+    NewtonConfig,
+    make_implicit_step,
+    run_transient,
+)
+
+RES = (2, 10)  # small generated mesh for CI speed
+
+
+def small_cfg(**kw):
+    return pore_3d.Pore3DConfig(mesh_resolution=RES, **kw)
+
+
+def test_linear_profile_with_robin_exit():
+    """Steady diffusion: Dirichlet u=2 at S1 (z=0), Robin k(u-1) at S3
+    (z=1), no wall flux => exact solution u = 2 + b z with b = -k/(1+k);
+    P1 on the extruded tet mesh reproduces it to solver precision."""
+    L, R = 100e-9, 5e-9
+    mesh = pore_boundary_markers(cylinder_mesh(L, R, *RES), L, R)
+    space = FemSpace.build(mesh, 1, quad_degree=2)
+    k = 0.7
+
+    form = WeakForm(
+        1,
+        lambda u, gu, up, x, th: ((u - up) / th["dt"], gu),
+        boundary={pore_3d.S3: lambda u, x, th: k * (u - 1.0)},
+    )
+    s1 = np.unique(mesh.facets[mesh.facet_markers == pore_3d.S1].reshape(-1))
+    bc = DirichletBC.from_vertex_sets(mesh.num_vertices, 1, [(s1, 0, 2.0)])
+    step = make_implicit_step(
+        space, form,
+        NewtonConfig(max_iter=30, rtol=1e-12, atol=1e-12),
+        LinearConfig(kind="bicgstab", tol=1e-12, maxiter=3000,
+                     precond="ssor"),
+        bc_of_theta=lambda th: bc)
+    theta = {"dt": jnp.asarray(1e12)}
+    u0 = jnp.ones((mesh.num_vertices, 1))
+    (_, _), (hist, stats) = run_transient(
+        step, (u0, None), 2, theta_of_carry=lambda c, i: theta)
+    assert bool(np.asarray(stats.converged).all())
+    u = np.asarray(hist[-1])[:, 0]
+    zc = np.asarray(mesh.points[:, 2])
+    b = -k / (1.0 + k)
+    np.testing.assert_allclose(u, 2.0 + b * zc, atol=5e-9)
+
+
+def test_sechenov_theta_update():
+    prog = pore_3d.build(small_cfg(physics="GMPNP"))
+    nf = prog.config.n_fields
+    N = prog.space.num_vertices
+    u_bulk = jnp.ones((N, nf))
+    th0 = prog._theta_of_carry((u_bulk, None), 0)
+    # at bulk concentrations the S1 value equals the Sechenov-capped
+    # saturation over bulk CO2
+    from gmpnp_tpu.chem.henry import co2_saturation_conc
+    ions = {s: prog.bulk_conc[s] for s in ("OH", "HCO3", "CO32", "K")}
+    expect = float(co2_saturation_conc(
+        prog.params.sys_params.T, prog.fugacity_CO2, ions, prog.params))
+    assert float(th0["co2_s1"]) == pytest.approx(
+        expect / prog.bulk_conc["CO2"], rel=1e-12)
+
+    # doubling the ion content salts CO2 out -> lower S1 value
+    u_salty = u_bulk.at[:, prog.idx["OH"]].set(2.0) \
+                    .at[:, prog.idx["HCO3"]].set(2.0) \
+                    .at[:, prog.idx["CO32"]].set(2.0) \
+                    .at[:, prog.idx["K"]].set(2.0)
+    th1 = prog._theta_of_carry((u_salty, None), 0)
+    assert float(th1["co2_s1"]) < float(th0["co2_s1"])
+
+
+def test_cross_model_physical_direction():
+    """GMPNP (corrected fluxes, grounded wall) and rxn-diff drive the same
+    chemistry directions even though their fields differ quantitatively
+    (GMPNP resolves a genuine space-charge transient the electroneutral
+    model cannot; the reference positions these as comparison models,
+    README.md:11)."""
+    n = 6
+    cfg_g = small_cfg(physics="GMPNP", voltage_multiplier=0.0,
+                      faithful=False)
+    cfg_r = small_cfg(physics="rxn_diff")
+    prog_g = pore_3d.build(cfg_g)
+    prog_r = pore_3d.build(cfg_r)
+    _, hist_g, stats_g, _ = prog_g.run(n_steps=n)
+    _, hist_r, stats_r, _ = prog_r.run(n_steps=n)
+    assert bool(np.asarray(stats_g.converged).all())
+    assert bool(np.asarray(stats_r.converged).all())
+    for prog, hist in ((prog_g, hist_g), (prog_r, hist_r)):
+        u = np.asarray(hist[-1])
+        assert np.isfinite(u).all()
+        idx = prog.idx
+        # wall OH production raises OH above bulk everywhere
+        assert u[:, idx["OH"]].min() > 1.0
+        # water equilibrium depletes H+ correspondingly
+        assert u[:, idx["H"]].max() < 1.0
+        # CO/H2 produced at the wall: above their (1% of eq) bulk level
+        assert u[:, idx["CO"]].min() >= 100.0 * (1 - 1e-9)
+        assert u[:, idx["H2"]].min() >= 100.0 * (1 - 1e-9)
+        # concentrations stay positive
+        assert (u[:, :len(prog.config.species)] > 0).all()
+    # the GMPNP space-charge transient pulls the interior potential negative
+    P = len(cfg_g.species)
+    ug = np.asarray(hist_g[-1])
+    assert ug[:, P].min() < -0.1
+    assert ug[:, P].max() <= 1e-9  # grounded boundaries are the maximum
+
+
+def test_faithful_vs_corrected_differ():
+    n = 4
+    res = {}
+    for faithful in (True, False):
+        prog = pore_3d.build(small_cfg(physics="GMPNP", faithful=faithful))
+        _, hist, stats, _ = prog.run(n_steps=n)
+        assert bool(np.asarray(stats.converged).all())
+        res[faithful] = np.asarray(hist[-1])
+    # the OH wall flux only exists in corrected mode
+    iOH = 1
+    diff = np.abs(res[True][:, iOH] - res[False][:, iOH]).max()
+    assert diff > 1e-3
+
+
+@pytest.mark.parametrize("physics", ["GMPNP", "rxn_diff"])
+def test_run_outputs_contract(tmp_path, physics):
+    import json
+    import os
+
+    cfg = small_cfg(physics=physics)
+    res = pore_3d.run(cfg, out_root=str(tmp_path), n_steps=2)
+    run_dir = res["run_dir"]
+
+    unscaled = np.load(os.path.join(run_dir, "arrays_unscaled.npz"))
+    base_keys = {"H", "OH", "HCO3", "CO32", "CO2", "CO", "H2", "coor", "tau",
+                 "H_grad", "OH_grad", "HCO3_grad", "CO32_grad", "CO2_grad",
+                 "CO_grad", "H2_grad"}
+    if physics == "GMPNP":
+        base_keys |= {"cat", "cat_grad", "p", "field_values"}
+    assert set(unscaled.files) == base_keys
+    assert unscaled["H"].shape[0] == 3  # initial + 2 steps
+    assert unscaled["H_grad"].shape[1] == 3  # vector components
+
+    scaled = np.load(os.path.join(run_dir, "arrays_scaled.npz"))
+    assert "coor_scaled" in scaled.files
+    assert "c_cat" in scaled.files
+    if physics == "GMPNP":
+        for k in ("psi", "eps_rel", "field_values", "charge_density"):
+            assert k in scaled.files, k
+
+    meta = json.load(open(os.path.join(run_dir, "metadata.json")))
+    for k in ("concentration_elec", "cation", "H2_FE", "L", "R", "time_step",
+              "total_sim_time", "porosity", "tortuosity", "constrictivity",
+              "y_CO2", "press_gas", "pore_geom_multiplier",
+              "electrolyte_flow_geom_multiplier", "eq_conc_CO", "eq_conc_H2",
+              "current_planar", "CO2_min"):
+        assert k in meta, k
+    if physics == "GMPNP":
+        assert "voltage_multiplier" in meta
+
+    # VTK exports
+    vtu = [f for f in os.listdir(run_dir) if f.endswith(".vtu")]
+    expected = 9 if physics == "GMPNP" else 7  # ref exports 9 fields incl. p
+    assert len(vtu) == expected
+    if physics == "GMPNP":
+        assert "solution_p.vtu" in vtu
+        assert "solution_K.vtu" in vtu
