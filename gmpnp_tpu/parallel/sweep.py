@@ -1,0 +1,128 @@
+"""Vmapped parameter sweeps.
+
+The reference's production parallelism is many independent cluster jobs over
+CLI flags (README.md:37-39).  Here a sweep is one batched solve: the swept
+scalar (voltage multiplier, applied current, ...) enters the step only
+through traced ``theta`` values / Dirichlet values, so ``jax.vmap`` turns
+the whole transient into a single XLA program with a leading batch axis —
+on hardware, XLA maps the batch across the chip (and with a device mesh,
+sweeps can additionally be sharded over devices).
+
+Cation sweeps change compile-time constants (diffusivities, ion sizes), so
+they run as an outer Python loop over at most four cached compilations, each
+vmapped over the voltage axis.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gmpnp_tpu.models import edl_1d, pore_3d
+from gmpnp_tpu.solve.timeloop import make_implicit_step
+
+
+def run_edl_voltage_sweep(
+    cfg: "edl_1d.EDL1DConfig",
+    voltages: Sequence[float],
+    n_steps: Optional[int] = None,
+):
+    """Batched 1D EDL solve over OHP voltage multipliers.
+
+    Returns (u_hist (V, steps, N, 7), stats batched over V).
+    """
+    prog = edl_1d.build(cfg)
+    n = prog.tot_num_steps if n_steps is None else n_steps
+    P = edl_1d.P
+
+    left = np.unique(
+        prog.mesh.facets[prog.mesh.facet_markers == 1].reshape(-1))
+
+    step = make_implicit_step(
+        prog.space, prog.form, cfg.newton, cfg.linear,
+        bc_of_theta=lambda theta: prog.bc.set_value(
+            left, P, theta["voltage"]))
+
+    def single(voltage):
+        u0 = jnp.concatenate(
+            [jnp.ones((prog.space.num_vertices, 6)),
+             jnp.zeros((prog.space.num_vertices, 1))], axis=1)
+        chf0 = jnp.asarray(0.001 if cfg.H_OHP is not None else 0.0)
+
+        def body(carry, i):
+            u, chf = carry
+            theta = prog._theta_of_carry((u, chf), i)
+            theta["voltage"] = voltage
+            u_new, stats = step(u, theta)
+            chf = prog._update_carry(chf, u_new, i)
+            return (u_new, chf), (u_new, stats)
+
+        (_, chf), ys = jax.lax.scan(body, (u0, chf0), jnp.arange(n))
+        return ys
+
+    return jax.jit(jax.vmap(single))(jnp.asarray(voltages, jnp.float64))
+
+
+def run_pore_voltage_sweep(
+    cfg: "pore_3d.Pore3DConfig",
+    voltages: Sequence[float],
+    n_steps: Optional[int] = None,
+):
+    """Batched 3D GMPNP pore solve over wall voltage multipliers — the
+    BASELINE config-5 sweep (voltage x cation; cation varies via an outer
+    loop, see module docstring).
+
+    The wall potential enters only through a Dirichlet value, so each sweep
+    member shares one compiled program.
+    """
+    assert cfg.physics == "GMPNP"
+    prog = pore_3d.build(cfg)
+    n = prog.num_steps if n_steps is None else n_steps
+    ns = len(cfg.species)
+    nf = cfg.n_fields
+
+    s2 = np.unique(
+        prog.mesh.facets[prog.mesh.facet_markers == pore_3d.S2].reshape(-1))
+
+    def bc_of_theta(theta):
+        bc = prog.bc.set_value(prog.s1_verts, prog.idx["CO2"],
+                               theta["co2_s1"])
+        return bc.set_value(s2, ns, theta["voltage"])
+
+    step = make_implicit_step(
+        prog.space, prog.form, cfg.newton, cfg.linear,
+        bc_of_theta=bc_of_theta)
+
+    def single(voltage):
+        u0 = jnp.ones((prog.space.num_vertices, nf)).at[:, ns].set(0.0)
+
+        def body(carry, i):
+            u, extra = carry
+            theta = prog._theta_of_carry((u, extra), i)
+            theta["voltage"] = voltage
+            u_new, stats = step(u, theta)
+            return (u_new, extra), (u_new, stats)
+
+        _, ys = jax.lax.scan(body, (u0, jnp.asarray(0.0)), jnp.arange(n))
+        return ys
+
+    return jax.jit(jax.vmap(single))(jnp.asarray(voltages, jnp.float64))
+
+
+def run_pore_voltage_cation_sweep(
+    cfg: "pore_3d.Pore3DConfig",
+    voltages: Sequence[float],
+    cations: Sequence[str] = ("K",),
+    n_steps: Optional[int] = None,
+) -> Dict[str, tuple]:
+    """voltage x cation sweep: vmapped voltages inside a cached-compile
+    cation loop (cation changes baked constants)."""
+    out = {}
+    for cat in cations:
+        c = dataclasses.replace(cfg, cation=cat)
+        out[cat] = run_pore_voltage_sweep(c, voltages, n_steps=n_steps)
+    return out

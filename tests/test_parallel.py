@@ -1,0 +1,137 @@
+"""Parallelism tests on the virtual 8-device CPU mesh.
+
+- vmapped voltage sweeps reproduce per-voltage sequential runs exactly;
+- the z-slab sharded 3D Newton step matches the single-device solve to
+  solver tolerance (same mesh, same BCs, tight Newton/Krylov).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gmpnp_tpu.models import edl_1d, pore_3d
+from gmpnp_tpu.parallel.shard import ZShardPlan, make_sharded_transient
+from gmpnp_tpu.parallel.sweep import run_edl_voltage_sweep
+from gmpnp_tpu.solve.timeloop import (
+    LinearConfig,
+    NewtonConfig,
+    make_implicit_step,
+)
+
+
+def test_edl_voltage_sweep_matches_sequential():
+    cfg = edl_1d.EDL1DConfig(L_n=1.0e-6, dry_run=True)
+    voltages = [-0.5, -1.0, -2.0]
+    hist_b, stats_b = run_edl_voltage_sweep(cfg, voltages, n_steps=3)
+    assert hist_b.shape[0] == 3
+
+    for i, v in enumerate(voltages):
+        cfg_v = dataclasses.replace(cfg, voltage_multiplier=v)
+        prog = edl_1d.build(cfg_v)
+        _, hist, stats, _ = prog.run(n_steps=3)
+        # vmapped and sequential programs fuse differently; agreement is
+        # at roundoff-accumulation level, not bitwise
+        np.testing.assert_allclose(
+            np.asarray(hist_b[i]), np.asarray(hist), rtol=1e-7, atol=1e-7)
+        assert (np.abs(np.asarray(stats_b.newton_iters[i])
+                       - np.asarray(stats.newton_iters)) <= 1).all()
+
+
+@pytest.mark.parametrize("n_dev", [2, 4, 8])
+def test_sharded_pore_step_matches_single_device(n_dev):
+    devices = jax.devices()
+    if len(devices) < n_dev:
+        pytest.skip("needs virtual device mesh")
+
+    cfg = pore_3d.Pore3DConfig(
+        physics="GMPNP", mesh_resolution=(2, 16),
+        newton=NewtonConfig(max_iter=50, rtol=1e-10, atol=1e-10,
+                            relaxation=0.9),
+        linear=LinearConfig(kind="bicgstab", tol=1e-10, maxiter=4000,
+                            precond="block_jacobi"))
+    prog = pore_3d.build(cfg)
+    # generated extruded meshes are already z-sorted (layer by layer)
+    z = np.asarray(prog.mesh.points[:, 2])
+    assert (np.diff(z) >= -1e-15).all()
+
+    nf = cfg.n_fields
+    ns = len(cfg.species)
+    N = prog.space.num_vertices
+    theta = {"dt": jnp.asarray(prog.dt_scaled),
+             "co2_s1": jnp.asarray(
+                 prog.eq_conc["CO2"] / prog.bulk_conc["CO2"])}
+
+    # --- single device reference step
+    bc = prog._bc_of_theta(theta)
+    step1 = make_implicit_step(prog.space, prog.form, cfg.newton, cfg.linear,
+                               bc_of_theta=lambda th: bc)
+    u0 = jnp.ones((N, nf)).at[:, ns].set(0.0)
+    u_ref, stats_ref = step1(u0, theta)
+    assert bool(stats_ref.converged)
+
+    # --- sharded step
+    mask = np.asarray(bc.mask)
+    vals = np.asarray(bc.values)
+    plan = ZShardPlan.build(prog.mesh, nf, n_dev, mask, vals,
+                            quad_degree=cfg.quad_degree)
+    step_sh, dev_mesh, u_shd = make_sharded_transient(
+        plan, prog.form, devices[:n_dev],
+        newton_max_iter=50, newton_rtol=1e-10, newton_atol=1e-10,
+        relaxation=0.9, krylov_tol=1e-10, krylov_maxiter=4000)
+
+    N_pad = plan.n_dev * plan.N_p
+    u0_pad = jnp.zeros((N_pad, nf)).at[:N].set(u0)
+    u0_sh = jax.device_put(u0_pad, u_shd)
+    u_new, (iters, conv, rn, lin) = step_sh(u0_sh, u0_sh, theta)
+    assert bool(conv)
+
+    u_new = np.asarray(u_new)[:N]
+    err = np.linalg.norm(u_new - np.asarray(u_ref)) / np.linalg.norm(
+        np.asarray(u_ref))
+    assert err < 1e-7, err
+
+
+def test_sharded_two_steps_consistency():
+    """Two consecutive sharded steps track the single-device transient."""
+    devices = jax.devices()
+    if len(devices) < 4:
+        pytest.skip("needs virtual device mesh")
+    n_dev = 4
+    cfg = pore_3d.Pore3DConfig(
+        physics="rxn_diff", mesh_resolution=(2, 12),
+        newton=NewtonConfig(max_iter=50, rtol=1e-9, atol=1e-9),
+        linear=LinearConfig(kind="bicgstab", tol=1e-10, maxiter=4000,
+                            precond="block_jacobi"))
+    prog = pore_3d.build(cfg)
+    nf = cfg.n_fields
+    N = prog.space.num_vertices
+    theta = {"dt": jnp.asarray(prog.dt_scaled),
+             "co2_s1": jnp.asarray(
+                 prog.eq_conc["CO2"] / prog.bulk_conc["CO2"])}
+    bc = prog._bc_of_theta(theta)
+    step1 = make_implicit_step(prog.space, prog.form, cfg.newton, cfg.linear,
+                               bc_of_theta=lambda th: bc)
+    u0 = jnp.ones((N, nf))
+    u1, _ = step1(u0, theta)
+    u2, _ = step1(u1, theta)
+
+    mask = np.asarray(bc.mask)
+    vals = np.asarray(bc.values)
+    plan = ZShardPlan.build(prog.mesh, nf, n_dev, mask, vals,
+                            quad_degree=cfg.quad_degree)
+    step_sh, dev_mesh, u_shd = make_sharded_transient(
+        plan, prog.form, devices[:n_dev],
+        newton_max_iter=50, newton_rtol=1e-9, newton_atol=1e-9,
+        relaxation=1.0, krylov_tol=1e-10, krylov_maxiter=4000)
+    N_pad = plan.n_dev * plan.N_p
+    u0_pad = jnp.zeros((N_pad, nf)).at[:N].set(u0)
+    u0_sh = jax.device_put(u0_pad, u_shd)
+    u1_sh, _ = step_sh(u0_sh, u0_sh, theta)
+    u2_sh, _ = step_sh(u1_sh, u1_sh, theta)
+
+    err = np.linalg.norm(np.asarray(u2_sh)[:N] - np.asarray(u2)) \
+        / np.linalg.norm(np.asarray(u2))
+    assert err < 1e-6, err
