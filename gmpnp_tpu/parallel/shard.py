@@ -38,6 +38,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gmpnp_tpu.fem.elements import physical_gradients, simplex_quadrature
 from gmpnp_tpu.fem.forms import WeakForm
+from gmpnp_tpu.solve.smallblock import block_inv
 from gmpnp_tpu.mesh.core import (
     Mesh as FemMesh,
     cell_measures,
@@ -317,7 +318,7 @@ def make_sharded_transient(
         eye = jnp.eye(nf)
         D = jnp.where(ident_rows[:, :, None] & (eye[None] > 0), 1.0, D)
         D = jnp.where(ident_rows[:, :, None] & (eye[None] == 0), 0.0, D)
-        return jnp.linalg.inv(D)
+        return block_inv(D)
 
     def bicgstab_sharded(matvec, Minv, b):
         x = jnp.zeros_like(b)

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from gmpnp_tpu.fem.assembly import BlockELL
+from gmpnp_tpu.solve.smallblock import block_inv, block_solve, triangular_solve_upper
 
 
 # ---------------------------------------------------------------------------
@@ -56,8 +57,9 @@ def block_tridiag_solve_thomas(lower, diag, upper, rhs):
         Cp_prev, dp_prev = carry
         A, B, C, d = inp
         denom = B - A @ Cp_prev
-        Cp = jnp.linalg.solve(denom, C)
-        dp = jnp.linalg.solve(denom, d - A @ dp_prev)
+        dinv = block_inv(denom)
+        Cp = dinv @ C
+        dp = dinv @ (d - A @ dp_prev)
         return (Cp, dp), (Cp, dp)
 
     init = (jnp.zeros((f, f), diag.dtype), jnp.zeros((f,), diag.dtype))
@@ -114,10 +116,8 @@ def block_tridiag_solve_cr(lower, diag, upper, rhs):
         od_hi = ev + 1                 # right odd neighbor
 
         # alpha = A_even @ inv(B_left);  gamma = C_even @ inv(B_right)
-        alpha = jnp.swapaxes(jnp.linalg.solve(
-            jnp.swapaxes(Bp[od_lo], 1, 2), jnp.swapaxes(Ap[ev], 1, 2)), 1, 2)
-        gamma = jnp.swapaxes(jnp.linalg.solve(
-            jnp.swapaxes(Bp[od_hi], 1, 2), jnp.swapaxes(Cp[ev], 1, 2)), 1, 2)
+        alpha = Ap[ev] @ block_inv(Bp[od_lo])
+        gamma = Cp[ev] @ block_inv(Bp[od_hi])
 
         A_new = -alpha @ Ap[od_lo]
         B_new = Bp[ev] - alpha @ Cp[od_lo] - gamma @ Ap[od_hi]
@@ -129,7 +129,7 @@ def block_tridiag_solve_cr(lower, diag, upper, rhs):
         stack.append((A, B, C, D))
         A, B, C, D = A_new, B_new, C_new, D_new
 
-    x = jnp.linalg.solve(B, D[..., None])[..., 0]   # (1, f)
+    x = block_solve(B, D)                           # (1, f)
 
     # back substitution: interleave odd solutions level by level
     for A_l, B_l, C_l, D_l in reversed(stack):
@@ -142,7 +142,7 @@ def block_tridiag_solve_cr(lower, diag, upper, rhs):
         rhs_od = (D_l[od]
                   - jnp.einsum("nij,nj->ni", A_l[od], x_even)
                   - jnp.einsum("nij,nj->ni", C_l[od], x_right))
-        x_odd = jnp.linalg.solve(B_l[od], rhs_od[..., None])[..., 0]
+        x_odd = block_solve(B_l[od], rhs_od)
         x = jnp.stack([x_even, x_odd], axis=1).reshape(m, f)
 
     return x[:N]
@@ -154,7 +154,7 @@ def block_tridiag_solve_cr(lower, diag, upper, rhs):
 
 def block_jacobi_preconditioner(ell: BlockELL) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """M^{-1} z with M = block diagonal of the matrix; z, out: (N, f)."""
-    Dinv = jnp.linalg.inv(ell.diag_blocks())
+    Dinv = block_inv(ell.diag_blocks())
 
     def apply(z):
         return jnp.einsum("nfg,ng->nf", Dinv, z)
@@ -215,7 +215,7 @@ def multicolor_ssor_preconditioner(
         color_lists.append(jnp.asarray(_np.concatenate([verts, pad])))
 
     D = ell.diag_blocks() / omega
-    Dinv = jnp.linalg.inv(D)
+    Dinv = block_inv(D)
     rows = jnp.arange(N)
     # off-diagonal blocks only (zero out the diagonal slot)
     offblocks = ell.blocks.at[rows, ell.diag_slot].set(0.0)
@@ -358,7 +358,7 @@ def gmres(
         Hsq = jnp.where(used[None, :] & used[:, None], Hsq,
                         jnp.eye(m, dtype=dtype))
         gv = jnp.where(used, g[:m], 0.0)
-        y = jax.scipy.linalg.solve_triangular(Hsq, gv, lower=False)
+        y = triangular_solve_upper(Hsq, gv)
         dx = pc(V[:m].T @ y)
         x_new = x + dx
         rnorm = _norm(bflat - mv(x_new))
@@ -432,7 +432,10 @@ def bicgstab(
 
 
 def dense_solve(ell: BlockELL, rhs: jnp.ndarray) -> jnp.ndarray:
-    """Direct dense solve (tests / small systems)."""
+    """Direct dense solve (tests / small systems).
+
+    Uses jnp.linalg.solve, which on TPU lacks an f64 LU — CPU/test path
+    only; production paths use the tridiagonal/Krylov solvers above."""
     N, _, f, _ = ell.blocks.shape
     x = jnp.linalg.solve(ell.to_dense(), rhs.reshape(-1))
     return x.reshape(N, f)
