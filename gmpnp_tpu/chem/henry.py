@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Dict, Mapping, Optional, Union
 
 import jax.numpy as jnp
+import numpy as np
 
 from gmpnp_tpu.constants import (
     DEFAULT_PARAMS,
@@ -27,13 +28,29 @@ from gmpnp_tpu.constants import (
 Scalar = Union[float, jnp.ndarray]
 
 
-def henry_K_CO2(temp: Scalar) -> jnp.ndarray:
+def _xp(*values):
+    """numpy for concrete host values, jnp for traced/device values.
+
+    Host-side callers (model builds, the bulk equilibrator) must not touch
+    the accelerator — on a tunneled TPU a scalar device round-trip costs
+    more than the whole computation; in-scan callers pass tracers and get
+    jnp."""
+    import jax
+
+    for v in values:
+        if isinstance(v, jax.core.Tracer) or isinstance(v, jnp.ndarray):
+            return jnp
+    return np
+
+
+def henry_K_CO2(temp: Scalar):
     """Henry's constant for CO2 (mol kg^-1 bar^-1 scale) as a function of T.
 
     [CO2]_aq,0 = K_H_CO2 * f_CO2.  ref: utilities/bulk_soln.py:40-41.
     """
-    lnK = 93.4517 * (100.0 / temp) - 60.2409 + 23.3585 * jnp.log(temp / 100.0)
-    return jnp.exp(lnK)
+    xp = _xp(temp)
+    lnK = 93.4517 * (100.0 / temp) - 60.2409 + 23.3585 * xp.log(temp / 100.0)
+    return xp.exp(lnK)
 
 
 def co2_saturation_conc(
@@ -59,9 +76,10 @@ def co2_saturation_conc(
     """
     if conc_ions is None:
         conc_ions = {}
+    xp = _xp(temp, fugacity_CO2, *conc_ions.values())
     h_CO2 = params.sechenov_CO2_0 + params.sechenov_CO2_T * (temp - 298.15)
 
-    sechenov = jnp.asarray(0.0)
+    sechenov = xp.asarray(0.0)
     for ion, conc in conc_ions.items():
         h_ion = (h_sechenov[ion] if h_sechenov is not None
                  else params.sechenov_ion[ion])

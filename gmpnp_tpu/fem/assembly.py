@@ -156,30 +156,43 @@ class FemSpace:
         adj, _ = vertex_adjacency(mesh.cells, mesh.num_vertices)
         diag_slot = np.argmax(adj == np.arange(len(adj))[:, None], axis=1)
         slot = _slot_table(mesh.cells, adj)
-        from gmpnp_tpu.solve.linear import greedy_vertex_coloring
-        colors = greedy_vertex_coloring(adj)
+        colors = None
+        try:
+            from gmpnp_tpu import native
+            csr = native.vertex_adjacency_csr(mesh.cells, mesh.num_vertices)
+            if csr is not None:
+                colors = native.greedy_color(*csr, mesh.num_vertices)
+        except Exception:
+            colors = None
+        if colors is None:
+            from gmpnp_tpu.solve.linear import greedy_vertex_coloring
+            colors = greedy_vertex_coloring(adj)
 
+        # NOTE: all static tables stay host-side numpy.  Under jit they are
+        # embedded as program constants directly; storing them as device
+        # arrays would force a device->host fetch per table at every
+        # lowering (catastrophic on tunneled accelerators).
         ftabs = []
         for m, t in sorted(_facet_tables(mesh, facet_quad_degree).items()):
             t = dict(t)
             t["slot"] = _node_slot(t["nodes"], adj)
-            ftabs.append((m, {k: jnp.asarray(v) for k, v in t.items()}))
+            ftabs.append((m, {k: np.asarray(v) for k, v in t.items()}))
 
         return FemSpace(
             n_fields=n_fields,
             num_vertices=mesh.num_vertices,
             dim=dim,
-            cells=jnp.asarray(mesh.cells),
-            vols=jnp.asarray(vols),
-            gradN=jnp.asarray(gradN),
-            Nq=jnp.asarray(rule.shape),
-            wq=jnp.asarray(rule.weights),
-            xq=jnp.asarray(xq),
-            adj=jnp.asarray(adj),
-            diag_slot=jnp.asarray(diag_slot.astype(np.int32)),
-            slot=jnp.asarray(slot),
+            cells=np.asarray(mesh.cells),
+            vols=np.asarray(vols),
+            gradN=np.asarray(gradN),
+            Nq=np.asarray(rule.shape),
+            wq=np.asarray(rule.weights),
+            xq=np.asarray(xq),
+            adj=np.asarray(adj),
+            diag_slot=np.asarray(diag_slot.astype(np.int32)),
+            slot=np.asarray(slot),
             facet_tabs=tuple(ftabs),
-            points=jnp.asarray(mesh.points),
+            points=np.asarray(mesh.points),
             colors=colors,
         )
 

@@ -37,7 +37,9 @@ class DirichletBC(NamedTuple):
         for verts, fld, val in entries:
             mask[verts, fld] = True
             vals[verts, fld] = val
-        return DirichletBC(jnp.asarray(mask), jnp.asarray(vals))
+        # host numpy: embedded as constants at trace time (no device round
+        # trips during lowering); traced updates go through set_value
+        return DirichletBC(mask, vals)
 
     def with_values(self, values: jnp.ndarray) -> "DirichletBC":
         """Replace the value array (e.g. traced per-step updates)."""
@@ -45,7 +47,8 @@ class DirichletBC(NamedTuple):
 
     def set_value(self, verts, fld: int, value) -> "DirichletBC":
         """Functionally update the value on a vertex set (traced-safe)."""
-        return DirichletBC(self.mask, self.values.at[verts, fld].set(value))
+        vals = jnp.asarray(self.values)
+        return DirichletBC(self.mask, vals.at[verts, fld].set(value))
 
     def apply_to_residual(self, r: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
         return jnp.where(self.mask, u - self.values, r)

@@ -91,6 +91,13 @@ def boundary_facets(
     Returns (facets (F, dim) int32, owning_cell (F,) int32).  Equivalent to
     DOLFIN's exterior-facet iteration used by every ``ds`` integral.
     """
+    try:
+        from gmpnp_tpu import native
+        res = native.boundary_facets(cells)
+    except Exception:
+        res = None
+    if res is not None:
+        return res
     C, nv = cells.shape
     all_fac = _cell_facets(cells).reshape(C * nv, nv - 1)
     keys = np.sort(all_fac, axis=1)

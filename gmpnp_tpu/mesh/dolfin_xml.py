@@ -34,6 +34,17 @@ def read_dolfin_xml(path: str) -> Mesh:
     with opener(path, "rb") as f:
         data = f.read()
 
+    # fast path: native C++ parser (falls through to expat when absent)
+    try:
+        from gmpnp_tpu import native
+        parsed = native.parse_dolfin_xml(data)
+    except Exception:
+        parsed = None
+    if parsed is not None:
+        points, cells = parsed
+        cells = fix_cell_orientation(points, cells)
+        return Mesh(points=points, cells=cells).with_boundary()
+
     state = {
         "celltype": None,
         "dim": None,

@@ -136,7 +136,7 @@ class EDL1DProgram:
         norm_gp = project_cellwise(sp, norm_gp_cell)          # (N,)
         h = self.h_vert
         rho_small = fact ** 2 * h ** 2 / 4.0
-        z = jnp.asarray([self.params.z(s) for s in cfg.species], jnp.float64)
+        z = np.asarray([self.params.z(s) for s in cfg.species], np.float64)
         absz = jnp.abs(z)[None, :]                            # (1, 6)
         Pe = fact * h[:, None] * norm_gp[:, None] * absz / 2.0
         rho_large = fact * h[:, None] / jnp.maximum(
@@ -204,10 +204,10 @@ def build(cfg: EDL1DConfig) -> EDL1DProgram:
         species, initial_conc, diff_coeff, cfg.L_n, params.rate_constants)
 
     q = (nat.F ** 2 * cfg.L_n ** 2) / (nat.eps_0 * nat.R * nat.T)
-    scale_vol = jnp.asarray(
+    scale_vol = np.asarray(
         [params.a(s) ** 3 * initial_conc[s] * nat.N_A for s in species])
-    z = jnp.asarray([params.z(s) for s in species], jnp.float64)
-    c0 = jnp.asarray([initial_conc[s] for s in species])
+    z = np.asarray([params.z(s) for s in species], np.float64)
+    c0 = np.asarray([initial_conc[s] for s in species])
     eps_rel = nat.eps_rel
     w_cat = n_water[cfg.cation]
     w_H = n_water["H"]
@@ -302,11 +302,15 @@ def build(cfg: EDL1DConfig) -> EDL1DProgram:
     entries.append((left, P, cfg.voltage_multiplier))
     bc = DirichletBC.from_vertex_sets(mesh.num_vertices, N_FIELDS, entries)
 
-    # SUPG geometric data: projected cell diameters (ref :599)
-    from gmpnp_tpu.mesh.core import cell_measures
-    h_cells = jnp.asarray(cell_measures(mesh.points, mesh.cells))
-    sp1 = space  # projection uses the same mesh tables
-    h_vert = project_cellwise(sp1, h_cells)
+    # SUPG geometric data: projected cell diameters (ref :599).  Computed
+    # only when SUPG is active: it is a device computation and must not run
+    # eagerly in every build (costly on tunneled accelerators).
+    if use_supg:
+        from gmpnp_tpu.mesh.core import cell_measures
+        h_cells = jnp.asarray(cell_measures(mesh.points, mesh.cells))
+        h_vert = np.asarray(project_cellwise(space, h_cells))
+    else:
+        h_vert = None
 
     return EDL1DProgram(
         config=cfg, space=space, form=form, bc=bc, mesh=mesh, params=params,

@@ -250,10 +250,10 @@ def build(cfg: Pore3DConfig) -> Pore3DProgram:
         cfg.L, params.rate_constants)
 
     q = (nat.F ** 2 * cfg.L ** 2) / (nat.eps_0 * nat.R * sysp.T)
-    scale_vol = jnp.asarray(
+    scale_vol = np.asarray(
         [params.a(s) ** 3 * bulk_conc[s] * nat.N_A for s in species])
-    z = jnp.asarray([params.z(s) for s in species], jnp.float64)
-    c0 = jnp.asarray([bulk_conc[s] for s in species])
+    z = np.asarray([params.z(s) for s in species], np.float64)
+    c0 = np.asarray([bulk_conc[s] for s in species])
     thermal_voltage = nat.k_B * sysp.T / nat.e_0
 
     J_pref = {s: cfg.L / (diff_coeff_eff[s] * bulk_conc[s]) for s in species}
@@ -396,13 +396,18 @@ def run(cfg: Pore3DConfig, out_root: Optional[str] = None,
     tau_array = np.linspace(0, T, n)
     coor = np.asarray(prog.mesh.points)
 
-    # final-state gradient projections (ref :884-909)
-    grads = {}
-    for nm in names:
-        g = project_gradient(prog.space,
-                             jnp.asarray(hist[-1, :, idx[sp_of[nm]]]),
-                             sign=1.0)
-        grads[nm] = np.asarray(g)
+    # final-state gradient projections (ref :884-909) — all fields in one
+    # batched mass solve (single compiled program)
+    from gmpnp_tpu.fem.projection import project_cellwise
+    u_last = jnp.asarray(hist[-1])
+    cols = [idx[sp_of[nm]] for nm in names]
+    grads_cell = jnp.einsum("caf,cad->cfd",
+                            u_last[:, cols][prog.space.cells],
+                            prog.space.gradN)            # (C, k, dim)
+    C = grads_cell.shape[0]
+    proj = project_cellwise(prog.space, grads_cell.reshape(C, -1))
+    proj = np.asarray(proj).reshape(prog.space.num_vertices, len(names), 3)
+    grads = {nm: proj[:, i, :] for i, nm in enumerate(names)}
 
     scaled, grads_scaled, times = {}, {}, {}
     for nm in names:

@@ -224,8 +224,8 @@ def make_sharded_transient(
             bfn = form.boundary.get(m)
             if bfn is None:
                 continue
-            fshape_j = jnp.asarray(fshape)
-            fw_j = jnp.asarray(fw)
+            fshape_j = np.asarray(fshape)
+            fw_j = np.asarray(fw)
             u_f = u_ext[fn_nodes]
 
             def facet(uf, meas):
@@ -266,8 +266,8 @@ def make_sharded_transient(
             bfn = form.boundary.get(m)
             if bfn is None:
                 continue
-            fshape_j = jnp.asarray(fshape)
-            fw_j = jnp.asarray(fw)
+            fshape_j = np.asarray(fshape)
+            fw_j = np.asarray(fw)
 
             def facet_jac(uf, meas):
                 def local(uu):
@@ -420,7 +420,7 @@ def make_sharded_transient(
     facet_flat = []
     facet_specs = []
     for m, (fn, fm, fshape, fw) in sorted(plan.facets.items()):
-        facet_flat += [jnp.asarray(fn), jnp.asarray(fm)]
+        facet_flat += [np.asarray(fn), np.asarray(fm)]
         facet_specs += [P(axis_name), P(axis_name)]
 
     sharded = shard_map(
@@ -433,13 +433,13 @@ def make_sharded_transient(
         **_smkw,
     )
 
-    cells_flat = jnp.asarray(plan.cells_l).reshape(n_dev * plan.cells_l.shape[1], -1)
-    vols_flat = jnp.asarray(plan.vols).reshape(-1)
-    gradN_flat = jnp.asarray(plan.gradN).reshape(
+    cells_flat = np.asarray(plan.cells_l).reshape(n_dev * plan.cells_l.shape[1], -1)
+    vols_flat = np.asarray(plan.vols).reshape(-1)
+    gradN_flat = np.asarray(plan.gradN).reshape(
         (n_dev * plan.gradN.shape[1],) + plan.gradN.shape[2:])
-    bc_mask_flat = jnp.asarray(plan.bc_mask).reshape(n_dev * N_p, nf)
-    bc_vals_flat = jnp.asarray(plan.bc_vals).reshape(n_dev * N_p, nf)
-    valid_flat = jnp.asarray(plan.valid).reshape(n_dev * N_p)
+    bc_mask_flat = np.asarray(plan.bc_mask).reshape(n_dev * N_p, nf)
+    bc_vals_flat = np.asarray(plan.bc_vals).reshape(n_dev * N_p, nf)
+    valid_flat = np.asarray(plan.valid).reshape(n_dev * N_p)
     facet_flat = [a.reshape((-1,) + tuple(a.shape[2:])) for a in facet_flat]
 
     @jax.jit

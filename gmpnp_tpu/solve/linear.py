@@ -212,7 +212,7 @@ def multicolor_ssor_preconditioner(
         # pad with the first vertex of the color: the padded rows compute
         # the identical update value, so the duplicate scatter is benign
         pad = _np.full(maxlen - len(verts), verts[0], dtype=_np.int64)
-        color_lists.append(jnp.asarray(_np.concatenate([verts, pad])))
+        color_lists.append(_np.concatenate([verts, pad]))
 
     D = ell.diag_blocks() / omega
     Dinv = block_inv(D)
