@@ -1,0 +1,50 @@
+"""Pallas kernel: block-ELL matvec contraction.
+
+Computes y[n] = sum_k blocks[n, k] @ xg[n, k]  where xg = x[adj] has been
+gathered by XLA (TPU gathers are best left to XLA; the win here is fusing
+the K-slot block-matvec reduction inside one VMEM tile instead of an
+(N, K, f) intermediate).  This is the inner operation of every Krylov
+iteration on the 3D models.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+
+def _contract_kernel(blocks_ref, xg_ref, y_ref):
+    # blocks: (T, K, f, f), xg: (T, K, f) -> y: (T, f)
+    y_ref[:] = jnp.einsum(
+        "nkfg,nkg->nf", blocks_ref[:], xg_ref[:],
+        preferred_element_type=y_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def ell_block_contract_pallas(blocks: jnp.ndarray, xg: jnp.ndarray,
+                              tile: int = 128,
+                              interpret: bool = False) -> jnp.ndarray:
+    """(N, K, f, f) x (N, K, f) -> (N, f) with the K reduction fused."""
+    N, K, f, _ = blocks.shape
+    pad = (-N) % tile
+    if pad:
+        blocks = jnp.concatenate(
+            [blocks, jnp.zeros((pad, K, f, f), blocks.dtype)], axis=0)
+        xg = jnp.concatenate([xg, jnp.zeros((pad, K, f), xg.dtype)], axis=0)
+    Np = blocks.shape[0]
+
+    y = pl.pallas_call(
+        _contract_kernel,
+        out_shape=jax.ShapeDtypeStruct((Np, f), blocks.dtype),
+        grid=(Np // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, K, f, f), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((tile, K, f), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((tile, f), lambda i: (i, 0)),
+        interpret=interpret,
+    )(blocks, xg)
+    return y[:N]
