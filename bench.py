@@ -80,6 +80,16 @@ def _time_transient(run, u0, device, n_steps):
 def main():
     import jax
 
+    # persistent compile cache: repeat bench runs skip the (slow, remote)
+    # TPU compilation entirely
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception:
+        pass
+
     make_transient, u0, prog = _build()
     accel = jax.devices()[0]
 
