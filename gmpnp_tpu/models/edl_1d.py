@@ -328,11 +328,15 @@ def scale_back(tau, C, species, initial_conc, diff_coeff, L_n, L_debye):
 
 
 def run(cfg: EDL1DConfig, out_root: Optional[str] = None,
-        write: bool = True, n_steps: Optional[int] = None):
+        write: bool = True, n_steps: Optional[int] = None,
+        verbose: bool = False):
     """Full reference-parity run with npz/metadata outputs
     (key sets per 1D/MPNP_CO2ER_EDL.py:821-832,906-924,960-989)."""
     prog = build(cfg)
     u0, u_hist, stats, current_H_frac = prog.run(n_steps=n_steps)
+    if verbose:
+        from gmpnp_tpu.utils import StepLogger
+        StepLogger(every=max(1, u_hist.shape[0] // 50)).log_run(stats)
     n = u_hist.shape[0]
     sch = prog.schedule
 

@@ -376,11 +376,15 @@ def scale_conc_time(C, grad_c, bulk, tau, D_eff, L):
 
 def run(cfg: Pore3DConfig, out_root: Optional[str] = None,
         write: bool = True, n_steps: Optional[int] = None,
-        write_vtk: bool = True):
+        write_vtk: bool = True, verbose: bool = False):
     """Full reference-parity run (npz/metadata/VTK key sets per
     3D/MPNP_CO2ER_pore.py:862-1085 and 3D/rxn_diff_CO2ER_pore.py:602-784)."""
     prog = build(cfg)
     u0, u_hist, stats, u_final = prog.run(n_steps=n_steps)
+    if verbose:
+        from gmpnp_tpu.utils import StepLogger
+        StepLogger(every=max(1, u_hist.shape[0] // 50)).log_run(
+            stats, dt_phys=cfg.time_step)
     n = u_hist.shape[0]
     ns = len(cfg.species)
     idx = prog.idx

@@ -42,6 +42,27 @@ SPECIES = ("H", "OH", "HCO3", "CO32", "CO2")
 IDX = {s: i for i, s in enumerate(SPECIES)}
 
 
+def read_iv_data(filename):
+    """CSV IV-curve reader: columns voltage, HCOO, CO, H2 partial currents
+    (ref ``readIVdata``, 1D/rxn_diff_planar.py:70-84; kept for users driving
+    the flux BCs from experimental IV data instead of --current_OHP_ss).
+
+    Returns (volt, HCOO, CO, H2) as lists of floats.
+    """
+    import csv
+
+    volt, HCOO, CO, H2 = [], [], [], []
+    with open(filename) as f:
+        for row in csv.reader(f):
+            if not row:
+                continue
+            volt.append(float(row[0]))
+            HCOO.append(float(row[1]))
+            CO.append(float(row[2]))
+            H2.append(float(row[3]))
+    return volt, HCOO, CO, H2
+
+
 @dataclass(frozen=True)
 class RxnDiff1DConfig:
     # reference CLI flags (1D/rxn_diff_planar.py:495-552)
@@ -165,11 +186,16 @@ def scale_back(tau, C, species, initial_conc, diff_coeff, L_n):
 
 
 def run(cfg: RxnDiff1DConfig, out_root: Optional[str] = None,
-        write: bool = True, n_steps: Optional[int] = None):
+        write: bool = True, n_steps: Optional[int] = None,
+        verbose: bool = False):
     """Full reference-parity run: transient solve + npz/metadata outputs
     (key sets match 1D/rxn_diff_planar.py:367-492)."""
     prog = build(cfg)
     u0, u_hist, stats = prog.run(n_steps=n_steps)
+    if verbose:
+        from gmpnp_tpu.utils import StepLogger
+        StepLogger(every=max(1, u_hist.shape[0] // 50)).log_run(
+            stats, dt_phys=cfg.time_step)
     n = u_hist.shape[0]
 
     # history arrays shaped like the reference accumulators: initial

@@ -1,0 +1,87 @@
+"""CLI smoke tests: flags parse, runs execute, outputs land."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+def test_rxn_diff_1d_cli(tmp_path, monkeypatch):
+    from gmpnp_tpu.cli import rxn_diff_1d as cli
+
+    # tiny run: patch the schedule via config default? Use the real CLI with
+    # L_n=1um but limit steps by patching run
+    import gmpnp_tpu.models.rxn_diff_1d as model
+
+    orig = model.run
+    monkeypatch.setattr(model, "run",
+                        lambda cfg, out_root=None, **kw: orig(
+                            cfg, out_root=out_root, n_steps=2))
+    res = cli.main(["--L_n", "1e-6", "--out_root", str(tmp_path)])
+    assert os.path.exists(os.path.join(res["run_dir"], "metadata.json"))
+
+
+def test_edl_cli_dry_run(tmp_path, monkeypatch):
+    from gmpnp_tpu.cli import edl_1d as cli
+    import gmpnp_tpu.models.edl_1d as model
+
+    orig = model.run
+    monkeypatch.setattr(model, "run",
+                        lambda cfg, out_root=None, **kw: orig(
+                            cfg, out_root=out_root, n_steps=2))
+    res = cli.main(["--L_n", "1e-6", "--model", "PNP",
+                    "--voltage_multiplier", "-2.0",
+                    "--out_root", str(tmp_path)])
+    meta = json.load(open(os.path.join(res["run_dir"], "metadata.json")))
+    assert meta["model"] == "PNP"
+    assert meta["voltage_multiplier"] == -2.0
+
+
+def test_stern_cli(tmp_path):
+    from gmpnp_tpu.cli import stern as cli
+
+    out = cli.main(["--out_root", str(tmp_path)])
+    assert len(out) == 5
+
+
+def test_pore_cli(tmp_path, monkeypatch):
+    from gmpnp_tpu.cli import pore_3d as cli
+    import gmpnp_tpu.models.pore_3d as model
+
+    orig_build = model.build
+
+    def small_build(cfg):
+        import dataclasses
+        return orig_build(dataclasses.replace(cfg, mesh_resolution=(2, 8)))
+
+    monkeypatch.setattr(model, "build", small_build)
+    res = cli.main(["--out_root", str(tmp_path), "--n_steps", "2"])
+    assert "voltage_multiplier" in json.load(
+        open(os.path.join(res["run_dir"], "metadata.json")))
+
+
+def test_bulk_soln_cli(tmp_path):
+    from gmpnp_tpu.cli import bulk_soln as cli
+
+    sol = cli.main(["--conc", "0.1", "--out_dir", str(tmp_path)])
+    assert os.path.exists(tmp_path / "bulk_soln_0.1KHCO3.yaml")
+    assert 6.5 < sol.post_pH < 7.2
+
+
+def test_mesh_tests_cli():
+    from gmpnp_tpu.cli import mesh_tests as cli
+
+    wall, entry, exit_ = cli.main(["--L", "50e-9", "--R", "5e-9"])
+    import math
+    assert wall == pytest.approx(2 * math.pi * 0.1, rel=5e-2)
+
+
+def test_iv_reader(tmp_path):
+    from gmpnp_tpu.models.rxn_diff_1d import read_iv_data
+
+    p = tmp_path / "iv.csv"
+    p.write_text("-1.0,0.1,0.5,0.2\n-1.5,0.2,0.9,0.4\n")
+    volt, HCOO, CO, H2 = read_iv_data(str(p))
+    assert volt == [-1.0, -1.5]
+    assert CO == [0.5, 0.9]
