@@ -321,30 +321,35 @@ def make_sharded_transient(
         return block_inv(D)
 
     def bicgstab_sharded(matvec, Minv, b):
+        # guards sized for TPU-emulated f64 (f32 exponent range): 1e-300
+        # would underflow to 0 and produce NaN storms
+        TINY = 1e-30
+        guard = lambda x: jnp.where(jnp.abs(x) < TINY, TINY, x)
         x = jnp.zeros_like(b)
         r = b - matvec(x)
         rhat = r
-        target = jnp.maximum(krylov_tol * pnorm(b), 1e-300)
+        target = jnp.maximum(krylov_tol * pnorm(b), TINY)
 
         def cond(st):
             x, r, p_, v, rho, alpha, omega, it = st
-            return (pnorm(r) > target) & (it < krylov_maxiter)
+            rn = pnorm(r)
+            healthy = (jnp.isfinite(rn) & jnp.isfinite(rho)
+                       & jnp.isfinite(omega)
+                       & (jnp.abs(rho) > TINY) & (jnp.abs(omega) > TINY))
+            return (rn > target) & (it < krylov_maxiter) & healthy
 
         def body(st):
             x, r, p_, v, rho, alpha, omega, it = st
             rho_new = pdot(rhat, r)
-            beta = (rho_new / jnp.where(rho == 0, 1e-300, rho)) * (
-                alpha / jnp.where(omega == 0, 1e-300, omega))
+            beta = (rho_new / guard(rho)) * (alpha / guard(omega))
             p_ = r + beta * (p_ - omega * v)
             phat = jnp.einsum("nfg,ng->nf", Minv, p_)
             v = matvec(phat)
-            rv = pdot(rhat, v)
-            alpha = rho_new / jnp.where(rv == 0, 1e-300, rv)
+            alpha = rho_new / guard(pdot(rhat, v))
             s = r - alpha * v
             shat = jnp.einsum("nfg,ng->nf", Minv, s)
             t = matvec(shat)
-            tt = pdot(t, t)
-            omega = pdot(t, s) / jnp.where(tt == 0, 1e-300, tt)
+            omega = pdot(t, s) / guard(pdot(t, t))
             x = x + alpha * phat + omega * shat
             r = s - omega * t
             return (x, r, p_, v, rho_new, alpha, omega, it + 1)

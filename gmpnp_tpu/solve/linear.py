@@ -260,6 +260,19 @@ class KrylovResult(NamedTuple):
     converged: jnp.ndarray
 
 
+# Breakdown guard magnitude.  NOTE: XLA:TPU emulates f64 with float32 pairs,
+# which keeps ~f32 exponent range — constants like 1e-300 silently underflow
+# to 0 there and turn breakdown guards into divisions by zero.  1e-30 is
+# representable on every backend and far below any legitimate quantity in
+# the scaled systems this framework solves.
+_TINY = 1e-30
+
+
+def _guard(x):
+    """Replace ~zero denominators with a representable tiny value."""
+    return jnp.where(jnp.abs(x) < _TINY, _TINY, x)
+
+
 def _norm(v):
     return jnp.sqrt(jnp.sum(v * v))
 
@@ -289,7 +302,7 @@ def gmres(
 
     x = jnp.zeros(n, dtype) if x0 is None else x0.reshape(-1)
     bnorm = _norm(bflat)
-    target = jnp.maximum(tol * bnorm, atol)
+    target = jnp.maximum(jnp.maximum(tol * bnorm, atol), _TINY)
     m = restart
     max_cycles = max(1, -(-maxiter // m))
 
@@ -298,7 +311,7 @@ def gmres(
         r = bflat - mv(x)
         beta = _norm(r)
 
-        V = jnp.zeros((m + 1, n), dtype).at[0].set(r / jnp.maximum(beta, 1e-300))
+        V = jnp.zeros((m + 1, n), dtype).at[0].set(r / jnp.maximum(beta, _TINY))
         H = jnp.zeros((m + 1, m), dtype)
         cs = jnp.zeros(m, dtype)
         sn = jnp.zeros(m, dtype)
@@ -320,7 +333,7 @@ def gmres(
                     0, m + 1, mgs, (w, jnp.zeros(m + 1, dtype)))
                 hlast = _norm(w)
                 hcol = hcol.at[j + 1].set(hlast)
-                V = V.at[j + 1].set(w / jnp.maximum(hlast, 1e-300))
+                V = V.at[j + 1].set(w / jnp.maximum(hlast, _TINY))
                 # apply previous Givens rotations to the new column
                 def rot(i, hc):
                     hi, hip = hc[i], hc[i + 1]
@@ -333,8 +346,8 @@ def gmres(
                 hcol = jax.lax.fori_loop(0, m, rot, hcol)
                 # new rotation annihilating hcol[j+1]
                 denom = jnp.sqrt(hcol[j] ** 2 + hcol[j + 1] ** 2)
-                c = jnp.where(denom > 0, hcol[j] / jnp.maximum(denom, 1e-300), 1.0)
-                s = jnp.where(denom > 0, hcol[j + 1] / jnp.maximum(denom, 1e-300), 0.0)
+                c = jnp.where(denom > 0, hcol[j] / jnp.maximum(denom, _TINY), 1.0)
+                s = jnp.where(denom > 0, hcol[j + 1] / jnp.maximum(denom, _TINY), 0.0)
                 hcol = hcol.at[j].set(c * hcol[j] + s * hcol[j + 1]).at[j + 1].set(0.0)
                 cs2 = cs.at[j].set(c)
                 sn2 = sn.at[j].set(s)
@@ -396,27 +409,30 @@ def bicgstab(
     r = bflat - mv(x)
     rhat = r
     bnorm = _norm(bflat)
-    target = jnp.maximum(tol * bnorm, atol)
+    target = jnp.maximum(jnp.maximum(tol * bnorm, atol), _TINY)
 
     def cond(st):
         x, r, p, v, rho, alpha, omega, it = st
-        return (_norm(r) > target) & (it < maxiter)
+        rn = _norm(r)
+        # stop on convergence, budget, Lanczos breakdown, or any
+        # non-finite state (prevents NaN storms that fault emulated-f64
+        # TPU kernels)
+        healthy = (jnp.isfinite(rn) & jnp.isfinite(rho) & jnp.isfinite(omega)
+                   & (jnp.abs(rho) > _TINY) & (jnp.abs(omega) > _TINY))
+        return (rn > target) & (it < maxiter) & healthy
 
     def body(st):
         x, r, p, v, rho, alpha, omega, it = st
         rho_new = jnp.dot(rhat, r)
-        beta = (rho_new / jnp.where(rho == 0, 1e-300, rho)) * (
-            alpha / jnp.where(omega == 0, 1e-300, omega))
+        beta = (rho_new / _guard(rho)) * (alpha / _guard(omega))
         p = r + beta * (p - omega * v)
         phat = pc(p)
         v = mv(phat)
-        alpha = rho_new / jnp.where(jnp.dot(rhat, v) == 0, 1e-300,
-                                    jnp.dot(rhat, v))
+        alpha = rho_new / _guard(jnp.dot(rhat, v))
         s = r - alpha * v
         shat = pc(s)
         t = mv(shat)
-        omega = jnp.dot(t, s) / jnp.where(jnp.dot(t, t) == 0, 1e-300,
-                                          jnp.dot(t, t))
+        omega = jnp.dot(t, s) / _guard(jnp.dot(t, t))
         x = x + alpha * phat + omega * shat
         r = s - omega * t
         return (x, r, p, v, rho_new, alpha, omega, it + 1)

@@ -44,6 +44,7 @@ def newton_solve(
     atol: float = 1e-4,
     max_iter: int = 50,
     relaxation: float = 1.0,
+    loop: str = "fori",
 ) -> NewtonResult:
     """Solve F(u) = 0.
 
@@ -55,6 +56,10 @@ def newton_solve(
         solvers.
     u0 : initial iterate (should satisfy Dirichlet BCs for exact DOLFIN
         parity of the first residual norm).
+    loop : "fori" (default) runs a bounded fori_loop whose body is skipped
+        via lax.cond once converged — semantically identical to the "while"
+        variant, but avoids a Mosaic miscompile observed on TPU for
+        while-in-while programs with gather-heavy (SSOR) preconditioners.
     """
     r0 = residual_fn(u0)
     n0 = _l2(r0)
@@ -62,20 +67,27 @@ def newton_solve(
     def converged(rn, r0n):
         return (rn < atol) | (rn < rtol * r0n)
 
-    def cond(state):
-        u, r, rn, it, lin = state
-        return (~converged(rn, n0)) & (it < max_iter)
-
-    def body(state):
+    def step(state):
         u, r, rn, it, lin = state
         du, klin = linear_solve_fn(u, r)
         u = u - relaxation * du
         r = residual_fn(u)
         return (u, r, _l2(r), it + 1, lin + klin)
 
-    u, r, rn, it, lin = jax.lax.while_loop(
-        cond, body,
-        (u0, r0, n0, jnp.array(0, jnp.int32), jnp.array(0, jnp.int32)))
+    init = (u0, r0, n0, jnp.array(0, jnp.int32), jnp.array(0, jnp.int32))
+
+    if loop == "while":
+        def cond(state):
+            u, r, rn, it, lin = state
+            return (~converged(rn, n0)) & (it < max_iter)
+
+        u, r, rn, it, lin = jax.lax.while_loop(cond, step, init)
+    else:
+        def body(i, state):
+            rn = state[2]
+            return jax.lax.cond(converged(rn, n0), lambda s: s, step, state)
+
+        u, r, rn, it, lin = jax.lax.fori_loop(0, max_iter, body, init)
 
     return NewtonResult(
         u=u,
