@@ -25,7 +25,7 @@ N_STEPS = 8           # timed transient window (from the initial state)
 CPU_STEPS = 8         # same window on CPU for an apples-to-apples ratio
 _CPU_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "bench_cpu_baseline.json")
-_BENCH_KEY = "pore3d_gmpnp/r3l40/steps8/v1"
+_BENCH_KEY = "pore3d_gmpnp/r3l40/steps8/bj/v2"
 
 
 def _build(n_rings=3, n_layers=40):
@@ -79,8 +79,12 @@ def _time_transient(run, u0, device, n_steps):
         up = (u * (1.0 + 1e-12 * (k + 1))).block_until_ready()
         t0 = time.perf_counter()
         out, iters = run(up)
-        out.block_until_ready()
+        # fetch a scalar: on tunneled remote-execution backends
+        # block_until_ready alone does not surface async faults, and a
+        # faulted run would otherwise time as ~0
+        chk = float(abs(out).sum())
         times.append(time.perf_counter() - t0)
+        assert chk == chk and chk != float("inf"), "non-finite bench result"
     times.sort()
     return times[1] / n_steps, iters
 

@@ -87,9 +87,12 @@ class Pore3DConfig:
     mesh_resolution: Optional[Tuple[int, int]] = None  # (n_rings, n_layers)
     newton: NewtonConfig = field(default_factory=lambda: NewtonConfig(
         max_iter=50, rtol=1.0e-4, atol=1.0e-4, relaxation=0.9))  # ref :789-799
+    # default preconditioner is block-Jacobi: the stronger multicolor SSOR
+    # (precond='ssor', ~2-3x fewer Krylov iterations) currently triggers a
+    # Mosaic kernel fault inside Newton loops on TPU (emulated f64); use it
+    # on CPU or once the toolchain fix lands.
     linear: LinearConfig = field(default_factory=lambda: LinearConfig(
-        kind="bicgstab", tol=1.0e-6, maxiter=2000, precond="ssor",
-        ssor_sweeps=1))
+        kind="bicgstab", tol=1.0e-6, maxiter=4000, precond="block_jacobi"))
 
     @property
     def species(self) -> Tuple[str, ...]:

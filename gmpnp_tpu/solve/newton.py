@@ -67,27 +67,34 @@ def newton_solve(
     def converged(rn, r0n):
         return (rn < atol) | (rn < rtol * r0n)
 
+    # The residual is recomputed inside the body rather than carried: the
+    # carry stays small (u + scalars), which both reduces loop state and —
+    # empirically, on TPU with emulated f64 — avoids a Mosaic kernel fault
+    # observed when a second (N, f) array is threaded through Krylov-heavy
+    # loop bodies.  Cost: one extra assembly per Newton iteration, trivial
+    # next to the inner linear solve.
     def step(state):
-        u, r, rn, it, lin = state
+        u, rn, it, lin = state
+        r = residual_fn(u)
         du, klin = linear_solve_fn(u, r)
         u = u - relaxation * du
-        r = residual_fn(u)
-        return (u, r, _l2(r), it + 1, lin + klin)
+        rn_new = _l2(residual_fn(u))
+        return (u, rn_new, it + 1, lin + klin)
 
-    init = (u0, r0, n0, jnp.array(0, jnp.int32), jnp.array(0, jnp.int32))
+    init = (u0, n0, jnp.array(0, jnp.int32), jnp.array(0, jnp.int32))
 
     if loop == "while":
         def cond(state):
-            u, r, rn, it, lin = state
+            u, rn, it, lin = state
             return (~converged(rn, n0)) & (it < max_iter)
 
-        u, r, rn, it, lin = jax.lax.while_loop(cond, step, init)
+        u, rn, it, lin = jax.lax.while_loop(cond, step, init)
     else:
         def body(i, state):
-            rn = state[2]
+            rn = state[1]
             return jax.lax.cond(converged(rn, n0), lambda s: s, step, state)
 
-        u, r, rn, it, lin = jax.lax.fori_loop(0, max_iter, body, init)
+        u, rn, it, lin = jax.lax.fori_loop(0, max_iter, body, init)
 
     return NewtonResult(
         u=u,
