@@ -92,7 +92,8 @@ class Pore3DConfig:
     # Mosaic kernel fault inside Newton loops on TPU (emulated f64); use it
     # on CPU or once the toolchain fix lands.
     linear: LinearConfig = field(default_factory=lambda: LinearConfig(
-        kind="bicgstab", tol=1.0e-6, maxiter=4000, precond="block_jacobi"))
+        kind="bicgstab", tol=1.0e-5, maxiter=4000, precond="block_jacobi",
+        solve_dtype="f32"))
 
     @property
     def species(self) -> Tuple[str, ...]:

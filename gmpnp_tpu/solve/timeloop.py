@@ -60,6 +60,12 @@ class LinearConfig:
     maxiter: int = 300
     precond: str = "block_jacobi"   # 'block_jacobi' | 'ssor'
     ssor_sweeps: int = 1
+    # inner-solve precision for the Krylov kinds: "f32" runs the iteration
+    # in native float32 (the TPU-fast path; f64 is emulated ~10x slower and
+    # gather-bound) and returns the update in f64.  Inexact-Newton theory
+    # (and the reference's 1e-4 Newton tolerances) only need ~1e-6 relative
+    # inner accuracy, which f32 delivers.
+    solve_dtype: str = "f64"        # 'f64' | 'f32'
 
 
 class StepStats(NamedTuple):
@@ -87,6 +93,12 @@ def make_linear_solver(space: FemSpace, form: WeakForm, cfg: LinearConfig):
                 return block_tridiag_solve_thomas(lo, di, up, r), zero
             if cfg.kind == "dense":
                 return dense_solve(ell, r), zero
+            out_dtype = r.dtype
+            if cfg.solve_dtype == "f32":
+                from gmpnp_tpu.fem.assembly import BlockELL
+                ell = BlockELL(ell.adj, ell.blocks.astype(jnp.float32),
+                               ell.diag_slot)
+                r = r.astype(jnp.float32)
             if cfg.precond == "ssor":
                 pc = multicolor_ssor_preconditioner(
                     ell, space.colors, sweeps=cfg.ssor_sweeps)
@@ -101,7 +113,7 @@ def make_linear_solver(space: FemSpace, form: WeakForm, cfg: LinearConfig):
                                atol=cfg.atol, maxiter=cfg.maxiter)
             else:
                 raise ValueError(f"unknown linear solver {cfg.kind!r}")
-            return res.x, res.iters
+            return res.x.astype(out_dtype), res.iters
 
         return lin
 

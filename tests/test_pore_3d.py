@@ -97,10 +97,15 @@ def test_cross_model_physical_direction():
     (GMPNP resolves a genuine space-charge transient the electroneutral
     model cannot; the reference positions these as comparison models,
     README.md:11)."""
+    from gmpnp_tpu.solve.timeloop import LinearConfig
+
     n = 6
+    # the corrected-flux GMPNP system needs the stronger SSOR preconditioner
+    ssor = LinearConfig(kind="bicgstab", tol=1.0e-6, maxiter=2000,
+                        precond="ssor")
     cfg_g = small_cfg(physics="GMPNP", voltage_multiplier=0.0,
-                      faithful=False)
-    cfg_r = small_cfg(physics="rxn_diff")
+                      faithful=False, linear=ssor)
+    cfg_r = small_cfg(physics="rxn_diff", linear=ssor)
     prog_g = pore_3d.build(cfg_g)
     prog_r = pore_3d.build(cfg_r)
     _, hist_g, stats_g, _ = prog_g.run(n_steps=n)
