@@ -65,6 +65,8 @@ class EDL1DConfig:
     params_file: Optional[str] = None
     dry_run: bool = True
     # framework knobs
+    steric_clip: float = 1.0e-6  # lower clamp on the MPNP steric denominator
+    # (see models.pore_3d.Pore3DConfig.steric_clip; same conditioning guard)
     include_reactions: bool = True   # False: pure (M)PNP equilibrium studies
     quad_degree: int = 3
     faithful_supg: bool = True   # reproduce the grad(u_H) slip in the OH
@@ -255,6 +257,8 @@ def build(cfg: EDL1DConfig) -> EDL1DProgram:
         fgrad_c = gu[:6] + z[:, None] * u[:6, None] * gu[P][None, :]
         if use_steric:
             denom = 1.0 - jnp.sum(scale_vol * u[:6])
+            if cfg.steric_clip:
+                denom = jnp.maximum(denom, cfg.steric_clip)
             common = jnp.einsum("j,jd->d", scale_vol, gu[:6])
             fgrad_c = fgrad_c + (u[:6] / denom)[:, None] * common[None, :]
         if use_supg:

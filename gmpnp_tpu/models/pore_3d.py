@@ -83,6 +83,14 @@ class Pore3DConfig:
     total_sim_time: float = 1.0
     # framework knobs
     faithful: bool = True       # reproduce the orphaned-flux published solver
+    steric_clip: float = 1.0e-6  # lower clamp on the steric denominator
+    # 1 - sum_j a_j^3 N_A C0_j u_j.  Off-manifold Newton iterates can drive
+    # it through zero; unclipped, the resulting ~1/denom^2 intermediates
+    # overflow the f32 exponent range of TPU-emulated f64 and fault the
+    # kernel (real f64 on CPU absorbs the excursion and Newton recovers —
+    # the reference depends on exactly that, SURVEY.md §7 "steric term
+    # conditioning").  Converged states sit at denom ~ 0.5, so the clip is
+    # inactive at any solution; 0 disables.
     quad_degree: int = 2
     mesh_resolution: Optional[Tuple[int, int]] = None  # (n_rings, n_layers)
     newton: NewtonConfig = field(default_factory=lambda: NewtonConfig(
@@ -91,9 +99,12 @@ class Pore3DConfig:
     # (precond='ssor', ~2-3x fewer Krylov iterations) currently triggers a
     # Mosaic kernel fault inside Newton loops on TPU (emulated f64); use it
     # on CPU or once the toolchain fix lands.
+    # f64 inner solves: the coupled systems run at condition ~1e6+, beyond
+    # what f32 Krylov accuracy (~eps*cond) can resolve even after
+    # equilibration; solve_dtype="f32" remains available for better-
+    # conditioned configurations.
     linear: LinearConfig = field(default_factory=lambda: LinearConfig(
-        kind="bicgstab", tol=1.0e-5, maxiter=4000, precond="block_jacobi",
-        solve_dtype="f32"))
+        kind="bicgstab", tol=1.0e-6, maxiter=4000, precond="block_jacobi"))
 
     @property
     def species(self) -> Tuple[str, ...]:
@@ -304,6 +315,8 @@ def build(cfg: Pore3DConfig) -> Pore3DProgram:
         if cfg.physics == "GMPNP":
             fgrad_c = guc + z[:, None] * uc[:, None] * gu[P][None, :]
             denom = 1.0 - jnp.sum(scale_vol * uc)
+            if cfg.steric_clip:
+                denom = jnp.maximum(denom, cfg.steric_clip)
             common = jnp.einsum("j,jd->d", scale_vol, guc)
             fgrad_c = fgrad_c + (uc / denom)[:, None] * common[None, :]
             hyd = (w_cat * u[cat_i] * C0_cat + w_H * u[0] * C0_H) * 1.0e-3

@@ -95,10 +95,20 @@ def make_linear_solver(space: FemSpace, form: WeakForm, cfg: LinearConfig):
                 return dense_solve(ell, r), zero
             out_dtype = r.dtype
             if cfg.solve_dtype == "f32":
+                # equilibrate in f64 first: bake the block-Jacobi left
+                # preconditioner into the matrix so every block row is O(1),
+                # then run the Krylov iteration in native f32.  Without this
+                # the raw system's ~1e8 row-scale range exceeds what f32
+                # rounding can resolve and Newton diverges.
                 from gmpnp_tpu.fem.assembly import BlockELL
-                ell = BlockELL(ell.adj, ell.blocks.astype(jnp.float32),
+                from gmpnp_tpu.solve.smallblock import block_inv
+                Dinv = block_inv(ell.diag_blocks())
+                blocks_scaled = jnp.einsum(
+                    "nfg,nkgh->nkfh", Dinv, ell.blocks)
+                ell = BlockELL(ell.adj,
+                               blocks_scaled.astype(jnp.float32),
                                ell.diag_slot)
-                r = r.astype(jnp.float32)
+                r = jnp.einsum("nfg,ng->nf", Dinv, r).astype(jnp.float32)
             if cfg.precond == "ssor":
                 pc = multicolor_ssor_preconditioner(
                     ell, space.colors, sweeps=cfg.ssor_sweeps)
