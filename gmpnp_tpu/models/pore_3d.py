@@ -99,12 +99,14 @@ class Pore3DConfig:
     # (precond='ssor', ~2-3x fewer Krylov iterations) currently triggers a
     # Mosaic kernel fault inside Newton loops on TPU (emulated f64); use it
     # on CPU or once the toolchain fix lands.
-    # f64 inner solves: the coupled systems run at condition ~1e6+, beyond
-    # what f32 Krylov accuracy (~eps*cond) can resolve even after
-    # equilibration; solve_dtype="f32" remains available for better-
-    # conditioned configurations.
+    # f64 BiCGStab inner solves: the coupled systems run at condition
+    # ~1e6+, beyond what f32 Krylov accuracy (~eps*cond) resolves.  The
+    # solver's transient-excursion cap (solve.linear) keeps values inside
+    # the f32 exponent range of TPU-emulated f64; GMRES (inherently
+    # bounded, more dots per iteration) is available via config.
     linear: LinearConfig = field(default_factory=lambda: LinearConfig(
-        kind="bicgstab", tol=1.0e-6, maxiter=4000, precond="block_jacobi"))
+        kind="bicgstab", tol=1.0e-6, maxiter=4000,
+        precond="block_jacobi"))
 
     @property
     def species(self) -> Tuple[str, ...]:

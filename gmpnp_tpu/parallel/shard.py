@@ -335,7 +335,8 @@ def make_sharded_transient(
             rn = pnorm(r)
             healthy = (jnp.isfinite(rn) & jnp.isfinite(rho)
                        & jnp.isfinite(omega)
-                       & (jnp.abs(rho) > TINY) & (jnp.abs(omega) > TINY))
+                       & (jnp.abs(rho) > TINY) & (jnp.abs(omega) > TINY)
+                       & (rn < 1e12))   # emulated-f64 overflow horizon
             return (rn > target) & (it < krylov_maxiter) & healthy
 
         def body(st):

@@ -414,11 +414,13 @@ def bicgstab(
     def cond(st):
         x, r, p, v, rho, alpha, omega, it = st
         rn = _norm(r)
-        # stop on convergence, budget, Lanczos breakdown, or any
-        # non-finite state (prevents NaN storms that fault emulated-f64
-        # TPU kernels)
+        # stop on convergence, budget, Lanczos breakdown, non-finite state,
+        # or runaway transients: BiCGStab excursions are unbounded and on
+        # TPU-emulated f64 (f32 exponent range) values past ~1e38 fault the
+        # kernel instead of overflowing to inf — cap well below that
         healthy = (jnp.isfinite(rn) & jnp.isfinite(rho) & jnp.isfinite(omega)
-                   & (jnp.abs(rho) > _TINY) & (jnp.abs(omega) > _TINY))
+                   & (jnp.abs(rho) > _TINY) & (jnp.abs(omega) > _TINY)
+                   & (rn < 1e12))
         return (rn > target) & (it < maxiter) & healthy
 
     def body(st):
