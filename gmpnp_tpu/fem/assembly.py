@@ -51,9 +51,20 @@ class BlockELL(NamedTuple):
     diag_slot: jnp.ndarray
 
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
-        """y[n] = sum_k blocks[n,k] @ x[adj[n,k]];  x, y: (N, f)."""
-        xg = x[self.adj]  # (N, K, f)
-        return jnp.einsum("nkfg,nkg->nf", self.blocks, xg)
+        """y[n] = sum_k blocks[n,k] @ x[adj[n,k]];  x, y: (N, f).
+
+        Written as a batched dot_general (batch dim n, contraction over the
+        flattened (k, g) axis) rather than an einsum: XLA:TPU tiles batched
+        matmuls over n, whereas the fused einsum kernel was observed to keep
+        the whole (N, K, f, f) block tensor in VMEM and fault once it
+        crossed the ~16 MB boundary (N >~ 1.2k at 9 fields)."""
+        N, K, f, _ = self.blocks.shape
+        xg = x[self.adj].reshape(N, K * f)            # (N, K*g)
+        bl = jnp.swapaxes(self.blocks, 1, 2).reshape(N, f, K * f)
+        return jax.lax.dot_general(
+            bl, xg,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=x.dtype)
 
     def diag_blocks(self) -> jnp.ndarray:
         """(N, f, f) diagonal blocks."""
