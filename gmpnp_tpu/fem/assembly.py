@@ -275,12 +275,38 @@ class FemSpace:
             r = r.at[tab["nodes"]].add(rf)
         return r
 
+    #: elements per chunk for Jacobian assembly.  jacfwd's tangent-expanded
+    #: intermediates are O(chunk * (nv*f)^2 * quad); computed for all
+    #: elements at once they reach GBs (x sweep lanes under vmap) and blew
+    #: past HBM on TPU — lax.map over fixed-size chunks caps the footprint
+    #: while keeping each chunk fully batched.
+    jac_chunk: int = 2048
+
+    def _chunked_map(self, fn, args, n_items):
+        """lax.map of a vmapped kernel over fixed-size chunks of the leading
+        axis (padded; caller slices back to n_items)."""
+        chunk = min(self.jac_chunk, n_items)
+        n_chunks = -(-n_items // chunk)
+        pad = n_chunks * chunk - n_items
+
+        def pad0(a):
+            if pad == 0:
+                return a
+            return jnp.concatenate(
+                [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
+
+        args_c = [pad0(a).reshape((n_chunks, chunk) + a.shape[1:])
+                  for a in args]
+        out = jax.lax.map(lambda xs: jax.vmap(fn)(*xs), tuple(args_c))
+        return out.reshape((n_chunks * chunk,) + out.shape[2:])[:n_items]
+
     def jacobian(self, form: WeakForm, u, u_prev, theta, aux=None) -> BlockELL:
         """Assembled Jacobian dF/du as BlockELL (aux never differentiated)."""
         f = self.n_fields
         N = self.num_vertices
         K = self.adj.shape[1]
         nv = self.cells.shape[1]
+        C = self.cells.shape[0]
 
         if form.n_aux:
             def local_jac(ue, upe, ax, g, v, x):
@@ -289,9 +315,11 @@ class FemSpace:
                 J = jax.jacfwd(fn)(ue)
                 return jnp.transpose(J, (0, 2, 1, 3))
 
-            J_e = jax.vmap(local_jac)(
-                u[self.cells], u_prev[self.cells], aux[self.cells],
-                self.gradN, self.vols, self.xq)
+            J_e = self._chunked_map(
+                local_jac,
+                [u[self.cells], u_prev[self.cells], aux[self.cells],
+                 jnp.asarray(self.gradN), jnp.asarray(self.vols),
+                 jnp.asarray(self.xq)], C)
         else:
             def local_jac(ue, upe, g, v, x):
                 fn = lambda uu: self._local_volume_residual(
@@ -299,9 +327,11 @@ class FemSpace:
                 J = jax.jacfwd(fn)(ue)     # (nv, f, nv, f)
                 return jnp.transpose(J, (0, 2, 1, 3))  # (row, col, f, f)
 
-            J_e = jax.vmap(local_jac)(
-                u[self.cells], u_prev[self.cells], self.gradN, self.vols,
-                self.xq)
+            J_e = self._chunked_map(
+                local_jac,
+                [u[self.cells], u_prev[self.cells],
+                 jnp.asarray(self.gradN), jnp.asarray(self.vols),
+                 jnp.asarray(self.xq)], C)
 
         blocks = jnp.zeros((N, K, f, f), dtype=u.dtype)
         rows = self.cells[:, :, None].repeat(nv, axis=2)   # (C, nv, nv)
