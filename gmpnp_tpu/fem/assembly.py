@@ -280,7 +280,7 @@ class FemSpace:
     #: elements at once they reach GBs (x sweep lanes under vmap) and blew
     #: past HBM on TPU — lax.map over fixed-size chunks caps the footprint
     #: while keeping each chunk fully batched.
-    jac_chunk: int = 2048
+    jac_chunk: int = 256
 
     def _chunked_map(self, fn, args, n_items):
         """lax.map of a vmapped kernel over fixed-size chunks of the leading
