@@ -29,7 +29,7 @@ import os
 import time
 
 N_STEPS = 8           # timed transient window (from the initial state)
-SWEEP_W = 16          # vmapped voltage lanes
+SWEEP_W = 8           # vmapped voltage lanes
 _CPU_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "bench_cpu_baseline.json")
 _BENCH_KEY = "pore3d_gmpnp/r3l40/steps8/bj/v2"

@@ -39,48 +39,81 @@ from gmpnp_tpu.mesh.core import (
 
 
 class BlockELL(NamedTuple):
-    """Block sparse matrix in ELL format.
+    """Block sparse matrix in ELL format, TPU-layout-aware.
 
     adj : (N, K) int32 neighbor ids (sorted, padded with the row vertex)
-    blocks : (N, K, f, f) float blocks; padding blocks are zero
+    flat : (N, f, K*f) float: flat[n, r, k*f + c] = block[n, k][r, c].
+        This is simultaneously (a) the operand layout of the batched-matmul
+        matvec and (b) tiling-friendly on TPU — arrays with trailing (f, f)
+        = (9, 9) dims pad 25x under the (8, 128) tile and blew HBM; the
+        (f, K*f) trailing pair pads ~2.5x.
     diag_slot : (N,) int32 position of the diagonal block within each row
     """
 
     adj: jnp.ndarray
-    blocks: jnp.ndarray
+    flat: jnp.ndarray
     diag_slot: jnp.ndarray
 
-    def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
-        """y[n] = sum_k blocks[n,k] @ x[adj[n,k]];  x, y: (N, f).
+    @property
+    def n_fields(self) -> int:
+        return self.flat.shape[1]
 
-        Written as a batched dot_general (batch dim n, contraction over the
-        flattened (k, g) axis) rather than an einsum: XLA:TPU tiles batched
-        matmuls over n, whereas the fused einsum kernel was observed to keep
-        the whole (N, K, f, f) block tensor in VMEM and fault once it
-        crossed the ~16 MB boundary (N >~ 1.2k at 9 fields)."""
-        N, K, f, _ = self.blocks.shape
-        xg = x[self.adj].reshape(N, K * f)            # (N, K*g)
-        bl = jnp.swapaxes(self.blocks, 1, 2).reshape(N, f, K * f)
+    @property
+    def K(self) -> int:
+        return self.flat.shape[2] // self.flat.shape[1]
+
+    @property
+    def shape4(self):
+        N, f, Kf = self.flat.shape
+        return (N, Kf // f, f, f)
+
+    @staticmethod
+    def from_blocks(adj, blocks4, diag_slot) -> "BlockELL":
+        """Build from (N, K, f, f) block layout (tests / interop)."""
+        N, K, f, _ = blocks4.shape
+        flat = jnp.swapaxes(blocks4, 1, 2).reshape(N, f, K * f)
+        return BlockELL(adj=adj, flat=flat, diag_slot=diag_slot)
+
+    def blocks4(self) -> jnp.ndarray:
+        """(N, K, f, f) view — CPU/tests only (relayout copy on TPU)."""
+        N, f, Kf = self.flat.shape
+        K = Kf // f
+        return jnp.swapaxes(self.flat.reshape(N, f, K, f), 1, 2)
+
+    def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        """y[n] = sum_k block[n,k] @ x[adj[n,k]];  x, y: (N, f) — one
+        batched dot_general (batch n, contraction over flattened (k, g))."""
+        N, f, Kf = self.flat.shape
+        xg = x[self.adj].reshape(N, Kf)               # (N, K*g)
         return jax.lax.dot_general(
-            bl, xg,
+            self.flat, xg,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=x.dtype)
 
     def diag_blocks(self) -> jnp.ndarray:
         """(N, f, f) diagonal blocks."""
+        N, f, Kf = self.flat.shape
+        idx = (self.diag_slot[:, None, None] * f
+               + jnp.arange(f)[None, None, :])        # (N, 1, f)
         return jnp.take_along_axis(
-            self.blocks, self.diag_slot[:, None, None, None], axis=1
-        )[:, 0]
+            self.flat, jnp.broadcast_to(idx, (N, f, f)), axis=2)
+
+    def scale_rows(self, Dinv: jnp.ndarray) -> "BlockELL":
+        """Left-multiply every block row by (N, f, f) matrices (block-row
+        equilibration): new[n, r, :] = sum_s Dinv[n, r, s] flat[n, s, :]."""
+        flat = jnp.einsum("nrs,nsk->nrk", Dinv, self.flat)
+        return BlockELL(adj=self.adj, flat=flat, diag_slot=self.diag_slot)
 
     def to_dense(self) -> jnp.ndarray:
         """(N*f, N*f) dense matrix — tests / small direct solves only."""
-        N, K, f, _ = self.blocks.shape
+        N, K, f, _ = self.shape4
+        blocks4 = self.blocks4()
         rows = jnp.repeat(jnp.arange(N), K)
         cols = self.adj.reshape(-1)
-        dense = jnp.zeros((N, f, N, f), dtype=self.blocks.dtype)
+        dense = jnp.zeros((N, f, N, f), dtype=self.flat.dtype)
         # padded slots alias the diagonal with zero blocks: scatter-add safe
         dense = dense.at[rows, :, cols, :].add(
-            self.blocks.reshape(N * K, f, f))
+            blocks4.reshape(N * K, f, f))
         return dense.reshape(N * f, N * f)
 
 
@@ -280,7 +313,7 @@ class FemSpace:
     #: elements at once they reach GBs (x sweep lanes under vmap) and blew
     #: past HBM on TPU — lax.map over fixed-size chunks caps the footprint
     #: while keeping each chunk fully batched.
-    jac_chunk: int = 256
+    jac_chunk: int = 128
 
     def _chunked_map(self, fn, args, n_items):
         """lax.map of a vmapped kernel over fixed-size chunks of the leading
@@ -300,8 +333,34 @@ class FemSpace:
         out = jax.lax.map(lambda xs: jax.vmap(fn)(*xs), tuple(args_c))
         return out.reshape((n_chunks * chunk,) + out.shape[2:])[:n_items]
 
+    def _scatter_tables(self, nodes, slot):
+        """Precompute flat scatter indices for element/facet Jacobians.
+
+        For item i with local vertices nodes[i] and slot table slot[i,a,b],
+        the flattened local Jacobian entry (a, b, r, c) lands at
+        flat-1D index  r*(K*f) + slot*f + c  of row nodes[i, a].
+        Returns (rows (I, nv*nv*f*f), cols (same)) int32 numpy arrays.
+        """
+        f = self.n_fields
+        K = self.adj.shape[1]
+        I, nv = nodes.shape
+        r_idx = np.arange(f)[:, None]
+        c_idx = np.arange(f)[None, :]
+        # (I, nv, nv, f, f)
+        cols = (r_idx[None, None, None] * (K * f)
+                + slot[:, :, :, None, None] * f
+                + c_idx[None, None, None])
+        rows = np.broadcast_to(
+            nodes[:, :, None, None, None], cols.shape)
+        return (rows.reshape(I, -1).astype(np.int32),
+                cols.reshape(I, -1).astype(np.int32))
+
     def jacobian(self, form: WeakForm, u, u_prev, theta, aux=None) -> BlockELL:
-        """Assembled Jacobian dF/du as BlockELL (aux never differentiated)."""
+        """Assembled Jacobian dF/du as BlockELL (aux never differentiated).
+
+        The element Jacobians are flattened to (C, nv*nv*f*f) before the
+        scatter: large temporaries must keep a single long trailing axis on
+        TPU (trailing (f, f) dims tile-pad 25x and exhaust HBM)."""
         f = self.n_fields
         N = self.num_vertices
         K = self.adj.shape[1]
@@ -312,8 +371,8 @@ class FemSpace:
             def local_jac(ue, upe, ax, g, v, x):
                 fn = lambda uu: self._local_volume_residual(
                     form, uu, upe, g, v, x, theta, ax)
-                J = jax.jacfwd(fn)(ue)
-                return jnp.transpose(J, (0, 2, 1, 3))
+                J = jax.jacfwd(fn)(ue)             # (nv, f, nv, f)
+                return jnp.transpose(J, (0, 2, 1, 3)).reshape(-1)
 
             J_e = self._chunked_map(
                 local_jac,
@@ -324,8 +383,8 @@ class FemSpace:
             def local_jac(ue, upe, g, v, x):
                 fn = lambda uu: self._local_volume_residual(
                     form, uu, upe, g, v, x, theta)
-                J = jax.jacfwd(fn)(ue)     # (nv, f, nv, f)
-                return jnp.transpose(J, (0, 2, 1, 3))  # (row, col, f, f)
+                J = jax.jacfwd(fn)(ue)             # (nv, f, nv, f)
+                return jnp.transpose(J, (0, 2, 1, 3)).reshape(-1)
 
             J_e = self._chunked_map(
                 local_jac,
@@ -333,9 +392,9 @@ class FemSpace:
                  jnp.asarray(self.gradN), jnp.asarray(self.vols),
                  jnp.asarray(self.xq)], C)
 
-        blocks = jnp.zeros((N, K, f, f), dtype=u.dtype)
-        rows = self.cells[:, :, None].repeat(nv, axis=2)   # (C, nv, nv)
-        blocks = blocks.at[rows, self.slot].add(J_e)
+        rows, cols = self._scatter_tables(self.cells, self.slot)
+        flat = jnp.zeros((N, f * K * f), dtype=u.dtype)
+        flat = flat.at[rows, cols].add(J_e)
 
         for marker, tab in self.facet_tabs:
             fn = form.boundary.get(marker)
@@ -346,11 +405,11 @@ class FemSpace:
                 f_res = lambda uu: self._local_facet_residual(
                     fn, uu, mf, tab["shape"], tab["weights"], xf, theta)
                 J = jax.jacfwd(f_res)(uf)
-                return jnp.transpose(J, (0, 2, 1, 3))
+                return jnp.transpose(J, (0, 2, 1, 3)).reshape(-1)
 
             Jf = jax.vmap(local_fjac)(u[tab["nodes"]], tab["meas"], tab["xq"])
-            fnv = tab["nodes"].shape[1]
-            frows = tab["nodes"][:, :, None].repeat(fnv, axis=2)
-            blocks = blocks.at[frows, tab["slot"]].add(Jf)
+            frows, fcols = self._scatter_tables(tab["nodes"], tab["slot"])
+            flat = flat.at[frows, fcols].add(Jf)
 
-        return BlockELL(adj=self.adj, blocks=blocks, diag_slot=self.diag_slot)
+        return BlockELL(adj=self.adj, flat=flat.reshape(N, f, K * f),
+                        diag_slot=self.diag_slot)

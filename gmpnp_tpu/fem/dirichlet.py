@@ -55,15 +55,17 @@ class DirichletBC(NamedTuple):
 
     def apply_to_jacobian(self, J: BlockELL) -> BlockELL:
         """Zero constrained rows and place 1 on their diagonal entries."""
-        N, K, f, _ = J.blocks.shape
-        row_mask = self.mask[:, None, :, None]          # (N, 1, f, 1)
-        blocks = jnp.where(row_mask, 0.0, J.blocks)
-        rows = jnp.arange(N)
-        diag = blocks[rows, J.diag_slot]                # (N, f, f)
-        eye = jnp.eye(f, dtype=blocks.dtype)
-        diag = jnp.where(self.mask[:, :, None] & (eye[None] > 0), 1.0, diag)
-        blocks = blocks.at[rows, J.diag_slot].set(diag)
-        return BlockELL(adj=J.adj, blocks=blocks, diag_slot=J.diag_slot)
+        N, f, Kf = J.flat.shape
+        row_mask = self.mask[:, :, None]                # (N, f, 1)
+        flat = jnp.where(row_mask, 0.0, J.flat)
+        # constrained (n, r): set flat[n, r, diag_slot[n]*f + r] = 1
+        rows = jnp.arange(N)[:, None]
+        rr = jnp.broadcast_to(jnp.arange(f)[None, :], (N, f))
+        cols = J.diag_slot[:, None] * f + rr
+        vals = jnp.where(self.mask, 1.0,
+                         flat[rows, rr, cols])
+        flat = flat.at[rows, rr, cols].set(vals)
+        return BlockELL(adj=J.adj, flat=flat, diag_slot=J.diag_slot)
 
     def project(self, u: jnp.ndarray) -> jnp.ndarray:
         """Force constrained dofs to their values."""

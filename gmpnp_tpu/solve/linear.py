@@ -33,14 +33,21 @@ def block_tridiag_from_ell(ell: BlockELL) -> Tuple[jnp.ndarray, jnp.ndarray, jnp
 
     Returns arrays (N, f, f); lower[0] and upper[N-1] are zero.
     """
-    N, K, f, _ = ell.blocks.shape
+    N, K, f, _ = ell.shape4
     assert K <= 3, "not a tridiagonal pattern"
+
+    def slot_block(slot):
+        # gather block `slot[n]` from the flat (N, f, K*f) layout
+        idx = (slot[:, None, None] * f + jnp.arange(f)[None, None, :])
+        return jnp.take_along_axis(
+            ell.flat, jnp.broadcast_to(idx, (N, f, f)), axis=2)
+
     rows = jnp.arange(N)
-    diag = ell.blocks[rows, ell.diag_slot]
+    diag = slot_block(ell.diag_slot)
     low_slot = jnp.clip(ell.diag_slot - 1, 0, K - 1)
     up_slot = jnp.clip(ell.diag_slot + 1, 0, K - 1)
-    lower = ell.blocks[rows, low_slot]
-    upper = ell.blocks[rows, up_slot]
+    lower = slot_block(low_slot)
+    upper = slot_block(up_slot)
     lower = jnp.where((rows > 0)[:, None, None], lower, 0.0)
     upper = jnp.where((rows < N - 1)[:, None, None], upper, 0.0)
     return lower, diag, upper
@@ -202,7 +209,7 @@ def multicolor_ssor_preconditioner(
     """
     import numpy as _np
 
-    N, K, f, _ = ell.blocks.shape
+    N, K, f, _ = ell.shape4
     colors_np = _np.asarray(colors)
     nc = int(colors_np.max()) + 1
     color_lists = []
@@ -216,15 +223,22 @@ def multicolor_ssor_preconditioner(
 
     D = ell.diag_blocks() / omega
     Dinv = block_inv(D)
-    rows = jnp.arange(N)
-    # off-diagonal blocks only (zero out the diagonal slot)
-    offblocks = ell.blocks.at[rows, ell.diag_slot].set(0.0)
+    # off-diagonal part: zero the diagonal block inside the flat layout
+    rows2 = jnp.arange(N)[:, None]
+    rr = jnp.broadcast_to(jnp.arange(f)[None, :], (N, f))
+    dcols = ell.diag_slot[:, None] * f + jnp.arange(f)[None, :]
+    offflat = ell.flat
+    for c in range(f):
+        offflat = offflat.at[rows2[:, 0], :, ell.diag_slot * f + c].set(0.0)
 
     def offdiag_rows(z, verts):
-        """sum_k offblocks[v,k] z[adj[v,k]] for a vertex set."""
-        blk = offblocks[verts]          # (M, K, f, f)
-        zg = z[ell.adj[verts]]          # (M, K, f)
-        return jnp.einsum("mkfg,mkg->mf", blk, zg)
+        """sum_k offblocks[v,k] z[adj[v,k]] for a vertex set — batched
+        dot_general on the flat layout."""
+        blk = offflat[verts]            # (M, f, K*f)
+        zg = z[ell.adj[verts]].reshape(len(verts), K * f)
+        return jax.lax.dot_general(
+            blk, zg, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=z.dtype)
 
     def sweep(z, r, order):
         for c in order:
@@ -454,6 +468,6 @@ def dense_solve(ell: BlockELL, rhs: jnp.ndarray) -> jnp.ndarray:
 
     Uses jnp.linalg.solve, which on TPU lacks an f64 LU — CPU/test path
     only; production paths use the tridiagonal/Krylov solvers above."""
-    N, _, f, _ = ell.blocks.shape
+    N, _, f, _ = ell.shape4
     x = jnp.linalg.solve(ell.to_dense(), rhs.reshape(-1))
     return x.reshape(N, f)

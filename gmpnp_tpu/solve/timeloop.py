@@ -103,10 +103,8 @@ def make_linear_solver(space: FemSpace, form: WeakForm, cfg: LinearConfig):
                 from gmpnp_tpu.fem.assembly import BlockELL
                 from gmpnp_tpu.solve.smallblock import block_inv
                 Dinv = block_inv(ell.diag_blocks())
-                blocks_scaled = jnp.einsum(
-                    "nfg,nkgh->nkfh", Dinv, ell.blocks)
-                ell = BlockELL(ell.adj,
-                               blocks_scaled.astype(jnp.float32),
+                ell = ell.scale_rows(Dinv)
+                ell = BlockELL(ell.adj, ell.flat.astype(jnp.float32),
                                ell.diag_slot)
                 r = jnp.einsum("nfg,ng->nf", Dinv, r).astype(jnp.float32)
             if cfg.precond == "ssor":
