@@ -6,7 +6,9 @@ cluster jobs per flag setting, README.md:37-39).  This benchmark runs the
 first N_STEPS backward-Euler steps of the 3D GMPNP pore transient for
 SWEEP_W wall voltages as ONE vmapped XLA program (damped Newton, BiCGStab +
 block-Jacobi inner solves, per-step Sechenov BC update per lane) and reports
-the throughput per (config x step).
+the throughput per (config x step).  Mesh: generated cylinder at (3 rings,
+24 layers), the largest batched workload that fits the current toolchain's
+tile-padding behavior in HBM (docs/TPU_NOTES.md).
 
 vs_baseline compares against a single host CPU core doing the same work
 sequentially (the BASELINE.json axis: "target >= 10x single-CPU-core"):
@@ -32,10 +34,10 @@ N_STEPS = 8           # timed transient window (from the initial state)
 SWEEP_W = 8           # vmapped voltage lanes
 _CPU_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "bench_cpu_baseline.json")
-_BENCH_KEY = "pore3d_gmpnp/r3l40/steps8/bj/v2"
+_BENCH_KEY = "pore3d_gmpnp/r3l24/steps8/bj/v3"
 
 
-def _build(n_rings=3, n_layers=40):
+def _build(n_rings=3, n_layers=24):
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -184,9 +184,15 @@ class Pore3DProgram:
             conc_ions[cfg.cation] = (conc_ions["HCO3"]
                                      + 2 * conc_ions["CO32"]
                                      + conc_ions["OH"] - med("H"))
+        # the model's own Sechenov table (cations absent from the reference
+        # constant list, e.g. Cs, salt out with h_ion = 0 — the reference
+        # itself would KeyError for those, 3D/MPNP_CO2ER_pore.py:210)
+        h = dict(self.h_sechenov)
+        h["CO2_0"] = self.params.sechenov_CO2_0
+        h["CO2_T"] = self.params.sechenov_CO2_T
         eq_CO2 = co2_saturation_conc(
             self.params.sys_params.T, self.fugacity_CO2, conc_ions,
-            self.params)
+            self.params, h_sechenov=h)
         return {"dt": self.dt_scaled, "co2_s1": eq_CO2 / bc0["CO2"]}
 
     def _bc_of_theta(self, theta):

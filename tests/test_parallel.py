@@ -135,3 +135,33 @@ def test_sharded_two_steps_consistency():
     err = np.linalg.norm(np.asarray(u2_sh)[:N] - np.asarray(u2)) \
         / np.linalg.norm(np.asarray(u2))
     assert err < 1e-6, err
+
+
+def test_pore_voltage_cation_sweep():
+    """BASELINE config-5 sweep API: voltage lanes vmapped per cached-compile
+    cation; lanes must match independent runs."""
+    from gmpnp_tpu.parallel.sweep import (
+        run_pore_voltage_cation_sweep,
+        run_pore_voltage_sweep,
+    )
+
+    cfg = pore_3d.Pore3DConfig(physics="GMPNP", mesh_resolution=(2, 8))
+    out = run_pore_voltage_cation_sweep(
+        cfg, voltages=[-0.5, -1.5], cations=("K", "Cs"), n_steps=2)
+    assert set(out) == {"K", "Cs"}
+    for cat, (hist, stats) in out.items():
+        assert hist.shape[0] == 2          # voltage lanes
+        assert bool(np.asarray(stats.converged).all()), cat
+    # cation change must actually change the physics
+    dK = np.asarray(out["K"][0][-1])
+    dCs = np.asarray(out["Cs"][0][-1])
+    assert np.abs(dK - dCs).max() > 1e-6
+
+    # lane 0 equals an independent single-voltage sweep run
+    hist1, _ = run_pore_voltage_sweep(
+        dataclasses.replace(cfg, cation="K"), [-0.5], n_steps=2)
+    # batched-while masking freezes converged lanes; agreement is at
+    # fused-op-reordering level
+    np.testing.assert_allclose(
+        np.asarray(out["K"][0][0]), np.asarray(hist1[0]),
+        rtol=1e-6, atol=1e-8)
