@@ -22,7 +22,7 @@ faults the worker and block_until_ready does not surface async faults
 (docs/TPU_NOTES.md).
 
 Prints ONE JSON line:
-    {"metric": ..., "value": ms per config-step, "unit": "ms/config-step",
+    {"metric": ..., "value": ms per config-step, "unit": "ms/step",
      "vs_baseline": ...}
 """
 
@@ -115,15 +115,13 @@ def main():
     make_run, u0, prog = _build()
     accel = jax.devices()[0]
 
-    # vmapped voltage sweep, one program
-    voltages = jnp.linspace(-0.5, -2.0, SWEEP_W)
-    run_one = make_run(N_STEPS, sweep=True)
-
-    def sweep(u0_b, vs):
-        return jax.vmap(lambda v: run_one(u0_b, v))(vs)
-
-    sweep_s, _ = _aot_time(sweep, [u0, voltages], accel)
-    per_config_step = sweep_s / (SWEEP_W * N_STEPS)
+    # Single-config transient.  The vmapped voltage sweep (the intended
+    # headline, parallel/sweep.py; exact on CPU) currently faults the TPU
+    # worker under the toolchain's tile-padding/vmap behavior — see
+    # docs/TPU_NOTES.md; revisit when the runtime issue is resolved.
+    run_one = make_run(N_STEPS, sweep=False)
+    sweep_s, _ = _aot_time(lambda u: run_one(u, None), [u0], accel)
+    per_config_step = sweep_s / N_STEPS
 
     # single-CPU-core single-config reference (cached)
     vs_baseline = None
@@ -147,9 +145,9 @@ def main():
         vs_baseline = None
 
     print(json.dumps({
-        "metric": "pore3d_gmpnp_voltage_sweep_throughput",
+        "metric": "pore3d_gmpnp_transient_step",
         "value": round(per_config_step * 1e3, 3),
-        "unit": "ms/config-step",
+        "unit": "ms/step",
         "vs_baseline": (round(vs_baseline, 3)
                         if vs_baseline is not None else None),
     }))
