@@ -186,3 +186,19 @@ def test_supg_faithful_vs_corrected_both_run():
         _, hist, stats, _ = prog.run(n_steps=3)
         assert bool(np.asarray(stats.converged).all())
         assert np.isfinite(np.asarray(hist)).all()
+
+
+def test_steric_clip_inactive_at_benign_states():
+    """The conditioning clamp (steric_clip) must not alter solutions on the
+    Newton path — it only guards off-manifold iterates (docs/TPU_NOTES.md)."""
+    import dataclasses
+
+    base = edl_1d.EDL1DConfig(L_n=1.0e-6, model="MPNP", dry_run=True)
+    prog_a = edl_1d.build(base)
+    prog_b = edl_1d.build(dataclasses.replace(base, steric_clip=0.0))
+    _, ha, sa, _ = prog_a.run(n_steps=4)
+    _, hb, sb, _ = prog_b.run(n_steps=4)
+    assert bool(np.asarray(sa.converged).all())
+    assert bool(np.asarray(sb.converged).all())
+    np.testing.assert_allclose(np.asarray(ha), np.asarray(hb),
+                               rtol=1e-10, atol=1e-10)
