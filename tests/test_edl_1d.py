@@ -202,3 +202,22 @@ def test_steric_clip_inactive_at_benign_states():
     assert bool(np.asarray(sb.converged).all())
     np.testing.assert_allclose(np.asarray(ha), np.asarray(hb),
                                rtol=1e-10, atol=1e-10)
+
+
+@pytest.mark.parametrize("vmult,ref_E,ref_eps", [
+    (-5.0, -0.2524415478848975, 57.64572780716129),
+    (-7.5, -0.4612956299192668, 50.16243860179017),
+])
+def test_parity_vs_reference_published_ohp_values(vmult, ref_E, ref_eps):
+    """End-to-end parity against the reference's own published MPNP results:
+    the OHP field and permittivity table hardcoded at 1D/Stern_CO2ER.py:66-68
+    records the reference's converged MPNP outputs per voltage.  Our 100-step
+    dry run on the 1um mesh reproduces them to ~1-2% (the residual gap is
+    dry-run-vs-full-run steadiness and mesh/bulk-data differences)."""
+    cfg = edl_1d.EDL1DConfig(L_n=1.0e-6, voltage_multiplier=vmult,
+                             dry_run=True)
+    res = edl_1d.run(cfg, write=False)
+    m = res["metadata"]
+    assert m["all_steps_converged"]
+    assert m["field_OHP"] == pytest.approx(ref_E, rel=0.03)
+    assert m["eps_rel_OHP"] == pytest.approx(ref_eps, rel=0.03)
