@@ -15,7 +15,7 @@ Physics (ref: 3D/MPNP_CO2ER_pore.py:70-93 and utilities/bulk_soln.py:32-54):
 
 from __future__ import annotations
 
-from typing import Dict, Mapping, Optional, Union
+from typing import Mapping, Optional, Union
 
 import jax.numpy as jnp
 import numpy as np

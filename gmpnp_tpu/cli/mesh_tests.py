@@ -11,7 +11,6 @@ import math
 
 import numpy as np
 
-from gmpnp_tpu.mesh import cylinder_mesh, pore_boundary_markers
 from gmpnp_tpu.mesh.core import facet_measures
 from gmpnp_tpu.models.pore_3d import _load_pore_mesh, Pore3DConfig
 

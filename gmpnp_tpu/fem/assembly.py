@@ -24,10 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from gmpnp_tpu.fem.elements import (
-    QuadratureRule,
     physical_gradients,
     simplex_quadrature,
-    p1_shape,
 )
 from gmpnp_tpu.fem.forms import WeakForm
 from gmpnp_tpu.mesh.core import (

@@ -18,7 +18,7 @@ The reference ships pre-built meshes ("generated using a separate script",
 from __future__ import annotations
 
 import math
-from typing import Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

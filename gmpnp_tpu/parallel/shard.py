@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
-from typing import Callable, Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -43,7 +43,6 @@ from gmpnp_tpu.mesh.core import (
     Mesh as FemMesh,
     cell_measures,
     facet_measures,
-    reorder_by_coordinate,
 )
 
 

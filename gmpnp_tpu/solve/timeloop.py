@@ -33,7 +33,7 @@ from gmpnp_tpu.solve.linear import (
     bicgstab,
     multicolor_ssor_preconditioner,
 )
-from gmpnp_tpu.solve.newton import NewtonResult, newton_solve
+from gmpnp_tpu.solve.newton import newton_solve
 
 
 @dataclass(frozen=True)
