@@ -91,7 +91,7 @@ def test_carbon_conservation_in_0d_kinetics():
     assert float(dy[0] + dy[1] + 2 * dy[2]) == pytest.approx(0.0, abs=1e-8)
 
 
-@pytest.mark.parametrize("conc", [0.1, 1.0])
+@pytest.mark.parametrize("conc", [0.1, 0.5, 1.0])
 def test_equilibrate_matches_reference_yaml(reference_utilities, conc):
     ref = load_bulk_yaml(str(reference_utilities / f"bulk_soln_{conc}KHCO3.yaml"))
     got = equilibrate_electrolyte(conc=conc, electrolyte="KHCO3")
