@@ -5,6 +5,7 @@ cylinder-wall facet-area check of 3D/mesh_tests.py:80-85.
 """
 
 import math
+import os
 
 import numpy as np
 import pytest
@@ -166,3 +167,41 @@ def test_reorder_by_coordinate():
     # cells still connect the same physical segments
     segs = {tuple(sorted(m2.points[c, 0])) for c in m2.cells}
     assert segs == {(0.0, 0.5), (0.5, 1.0)}
+
+
+def test_all_shipped_pore_meshes_read_and_mark(reference_utilities):
+    """Every shipped 3D cylinder mesh reads, marks fully (set_all(9999)
+    default never survives, ref 3D/MPNP_CO2ER_pore.py:369-379), and the wall
+    integral matches the analytic lateral area for normal aspect ratios."""
+    import glob
+    import re
+
+    files = sorted(glob.glob(str(reference_utilities / "L_*.xml")))
+    assert len(files) >= 11
+    for f in files:
+        g = re.fullmatch(r"L_([\d.]+)_R_([\d.]+)",
+                 os.path.basename(f)[:-4])
+        L, R = float(g.group(1)) * 1e-9, float(g.group(2)) * 1e-9
+        m = read_dolfin_xml(f)
+        m = pore_boundary_markers(m, L, R)
+        assert (m.facet_markers == 9999).sum() == 0, f
+        aspect = R / L
+        areas = facet_measures(m.points, m.facets)
+        wall = areas[m.facet_markers == 2].sum()
+        if aspect >= 0.08:  # wall tol doesn't leak onto the discs here
+            assert wall == pytest.approx(2 * math.pi * aspect, rel=1e-2), f
+            entry = areas[m.facet_markers == 1].sum()
+            assert entry == pytest.approx(math.pi * aspect ** 2, rel=1e-2), f
+
+
+def test_marking_tolerance_quirk_high_aspect(reference_utilities):
+    """Faithful reference semantics: the wall predicate's ABSOLUTE 1e-3
+    tolerance on x^2+y^2 vs (R/L)^2 (ref 3D/MPNP_CO2ER_pore.py:350-356)
+    absorbs the entire entry/exit discs when (R/L)^2 < 1e-3 — for L_50_R_1
+    every disc vertex satisfies |r^2 - 4e-4| <= 1e-3, and the wall rule is
+    applied last, so entry (1) and exit (3) end up empty."""
+    m = read_dolfin_xml(str(reference_utilities / "L_50_R_1.xml"))
+    m = pore_boundary_markers(m, 50e-9, 1e-9)
+    assert (m.facet_markers == 1).sum() == 0
+    assert (m.facet_markers == 3).sum() == 0
+    assert (m.facet_markers == 9999).sum() == 0
