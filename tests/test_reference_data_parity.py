@@ -71,3 +71,43 @@ def test_generated_equals_reference_mesh_solution(util_env, monkeypatch):
     # solutions agree to that level
     np.testing.assert_allclose(
         np.asarray(h_ref[-1]), np.asarray(h_gen[-1]), rtol=2e-3)
+
+
+def test_default_params_equal_reference_pore_yaml_everywhere(util_env):
+    """DEFAULT_PARAMS must equal utilities/parameters_pore.yaml field for
+    field (rate constants, diffusion coefficients, solvated sizes, charges,
+    Sechenov/Henry tables, hydration numbers, sys_params; ref
+    parameters_pore.yaml:1-86)."""
+    from dataclasses import fields, is_dataclass
+
+    from gmpnp_tpu.constants import DEFAULT_PARAMS, load_parameters
+
+    ref = load_parameters(str(util_env / "parameters_pore.yaml"))
+
+    def walk(a, b, path):
+        if is_dataclass(a):
+            for f in fields(a):
+                walk(getattr(a, f.name), getattr(b, f.name),
+                     path + "." + f.name)
+        elif isinstance(a, dict):
+            assert set(a) == set(b), path
+            for k in a:
+                walk(a[k], b[k], f"{path}[{k}]")
+        else:
+            assert a == b, (path, a, b)
+
+    walk(DEFAULT_PARAMS, ref, "params")
+
+
+def test_1d_parameters_yaml_loads_with_shared_fields(util_env):
+    """The 1D utilities/parameters.yaml also loads; fields shared with the
+    pore file agree with the defaults."""
+    from gmpnp_tpu.constants import DEFAULT_PARAMS, load_parameters
+
+    p = load_parameters(str(util_env / "parameters.yaml"))
+    d = DEFAULT_PARAMS
+    assert p.rate_constants == d.rate_constants
+    for sp in ("K", "Na", "Li", "Cs", "H", "OH", "HCO3", "CO32", "CO2"):
+        assert p.diff_coef[sp] == d.diff_coef[sp], sp
+        assert p.solv_size[sp] == d.solv_size[sp], sp
+    assert p.sechenov_ion == d.sechenov_ion
