@@ -61,6 +61,24 @@ def test_pore_cli(tmp_path, monkeypatch):
         open(os.path.join(res["run_dir"], "metadata.json")))
 
 
+def test_rxn_diff_3d_cli(tmp_path, monkeypatch):
+    from gmpnp_tpu.cli import rxn_diff_3d as cli
+    import gmpnp_tpu.models.pore_3d as model
+
+    orig_build = model.build
+
+    def small_build(cfg):
+        import dataclasses
+        return orig_build(dataclasses.replace(cfg, mesh_resolution=(2, 8)))
+
+    monkeypatch.setattr(model, "build", small_build)
+    res = cli.main(["--out_root", str(tmp_path), "--n_steps", "2"])
+    meta = json.load(open(os.path.join(res["run_dir"], "metadata.json")))
+    # rxn-diff metadata has no voltage key (ref 3D/rxn_diff_CO2ER_pore.py)
+    assert "voltage_multiplier" not in meta
+    assert "CO2_min" in meta
+
+
 def test_bulk_soln_cli(tmp_path):
     from gmpnp_tpu.cli import bulk_soln as cli
 
