@@ -36,7 +36,6 @@ def _build(cls: Type[T], data: Dict[str, Any]) -> T:
             f"unknown config keys for {cls.__name__}: {sorted(unknown)}")
     kwargs = {}
     for name, value in data.items():
-        ftype = fields[name].type
         # resolve nested dataclass fields by inspecting the default
         default = fields[name].default_factory() \
             if fields[name].default_factory is not dataclasses.MISSING \

@@ -34,7 +34,6 @@ def mark_boundary(
     assert mesh.facets is not None, "call with_boundary() first"
     F = mesh.facets
     markers = np.full(len(F), default, dtype=np.int32)
-    verts_ok_cache = {}
     for marker, pred in rules:
         ok = pred(mesh.points)  # (V,) bool per vertex
         facet_ok = np.all(ok[F], axis=1)

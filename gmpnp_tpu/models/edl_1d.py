@@ -223,13 +223,9 @@ def build(cfg: EDL1DConfig) -> EDL1DProgram:
     if cfg.dry_run:
         dt1_phys, n1 = 1.0e-5, 100
         dt2_phys, n2 = 1.0e-5, 0
-        total_sim_time = 1.0e-3
-        time_step = 1.0e-5
     else:
         dt1_phys, n1 = 1.0e-5, int(0.1 / 1.0e-5)         # 10,000 steps
         dt2_phys, n2 = 1.0e-3, int((10.1 - 0.1) / 1.0e-3)  # 10,000 steps
-        total_sim_time = 10.1
-        time_step = 1.0e-5
     schedule = {
         "dt1": dt1_phys / time_constant,
         "dt2": dt2_phys / time_constant,

@@ -307,7 +307,6 @@ def build(cfg: Pore3DConfig) -> Pore3DProgram:
     else:
         exit_species = species          # 7, no cation solved (ref :432-446)
 
-    use_steric = cfg.physics == "GMPNP"
     if cfg.physics == "GMPNP":
         w_cat = params.w(cfg.cation)
         w_H = params.w("H")

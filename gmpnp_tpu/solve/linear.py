@@ -318,7 +318,6 @@ def gmres(
     bnorm = _norm(bflat)
     target = jnp.maximum(jnp.maximum(tol * bnorm, atol), _TINY)
     m = restart
-    max_cycles = max(1, -(-maxiter // m))
 
     def cycle(state):
         x, _, total_it, _ = state
