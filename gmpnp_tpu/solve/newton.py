@@ -45,6 +45,7 @@ def newton_solve(
     max_iter: int = 50,
     relaxation: float = 1.0,
     loop: str = "fori",
+    backtracking: int = 0,
 ) -> NewtonResult:
     """Solve F(u) = 0.
 
@@ -60,6 +61,13 @@ def newton_solve(
         via lax.cond once converged — semantically identical to the "while"
         variant, but avoids a Mosaic miscompile observed on TPU for
         while-in-while programs with gather-heavy (SSOR) preconditioners.
+    backtracking : number of Armijo backtracking halvings to try per Newton
+        iteration (0 = plain damped Newton, the reference-parity default;
+        dolfin's NewtonSolver has no line search either).  With k > 0 the
+        step length lambda is halved from ``relaxation`` up to k times until
+        ||r(u - lambda du)|| <= (1 - 1e-4 lambda) ||r(u)||; if no lambda
+        satisfies the Armijo test, the smallest trial step is taken anyway
+        (bounded-effort globalization, SURVEY.md §5 failure-recovery item).
     """
     r0 = residual_fn(u0)
     n0 = _l2(r0)
@@ -77,8 +85,26 @@ def newton_solve(
         u, rn, it, lin = state
         r = residual_fn(u)
         du, klin = linear_solve_fn(u, r)
-        u = u - relaxation * du
-        rn_new = _l2(residual_fn(u))
+        if backtracking > 0:
+            def try_lam(carry, lam):
+                u_best, rn_best, accepted = carry
+                u_try = u - lam * du
+                rn_try = _l2(residual_fn(u_try))
+                armijo = rn_try <= (1.0 - 1e-4 * lam) * rn
+                # first accepted lambda wins; otherwise keep the last
+                # (smallest) trial as the fallback iterate
+                take = (~accepted) & (armijo | (lam == lams[-1]))
+                u_best = jnp.where(take, u_try, u_best)
+                rn_best = jnp.where(take, rn_try, rn_best)
+                return (u_best, rn_best, accepted | take), None
+
+            lams = [relaxation * 0.5 ** k for k in range(backtracking + 1)]
+            (u, rn_new, _), _ = jax.lax.scan(
+                try_lam, (u, jnp.asarray(jnp.inf, rn.dtype), jnp.asarray(False)),
+                jnp.asarray(lams, u.dtype))
+        else:
+            u = u - relaxation * du
+            rn_new = _l2(residual_fn(u))
         return (u, rn_new, it + 1, lin + klin)
 
     init = (u0, n0, jnp.array(0, jnp.int32), jnp.array(0, jnp.int32))

@@ -43,6 +43,9 @@ class NewtonConfig:
     rtol: float = 1.0e-4
     atol: float = 1.0e-4
     relaxation: float = 1.0
+    # Armijo backtracking halvings per iteration (0 = plain damped Newton,
+    # the dolfin-parity default; see solve.newton.newton_solve)
+    backtracking: int = 0
 
 
 @dataclass(frozen=True)
@@ -151,7 +154,8 @@ def make_implicit_step(
             residual, lin, bc.project(u_prev),
             rtol=newton_cfg.rtol, atol=newton_cfg.atol,
             max_iter=newton_cfg.max_iter,
-            relaxation=newton_cfg.relaxation)
+            relaxation=newton_cfg.relaxation,
+            backtracking=newton_cfg.backtracking)
         stats = StepStats(
             newton_iters=res.iterations,
             converged=res.converged,
@@ -160,6 +164,52 @@ def make_implicit_step(
         return res.u, stats
 
     return step
+
+
+def make_retrying_step(
+    step: Callable,
+    max_retries: int = 3,
+    dt_key: str = "dt",
+):
+    """Wrap a ``(u_prev, theta) -> (u_new, StepStats)`` step with
+    divergence-triggered dt halving (SURVEY.md §5: the reference has no
+    recovery — a diverged Newton kills the run and all results are lost).
+
+    If the Newton solve does not converge, the step is retried with
+    ``theta[dt_key]`` halved, up to ``max_retries`` times (dt/2, dt/4, ...).
+    Returns ``(u_new, stats, dt_scale)`` where stats are those of the
+    accepted attempt and the dt actually used is
+    ``theta[dt_key] * dt_scale``.  Compiles the inner step once
+    (lax.while_loop over attempts).
+
+    NOTE: a successful retry advances physical time by less than the
+    schedule's dt — callers that track absolute time must accumulate
+    ``stats.dt_scale * theta[dt_key]`` rather than dt itself.
+    """
+
+    def retry_step(u_prev, theta):
+        dt0 = theta[dt_key]
+
+        def attempt(k):
+            th = dict(theta)
+            th[dt_key] = dt0 * (0.5 ** k.astype(dt0.dtype))
+            return step(u_prev, th)
+
+        u1, st1 = attempt(jnp.asarray(0))
+
+        def cond(state):
+            k, u, st = state
+            return (~st.converged) & (k < max_retries)
+
+        def body(state):
+            k, u, st = state
+            u2, st2 = attempt(k + 1)
+            return (k + 1, u2, st2)
+
+        k, u, st = jax.lax.while_loop(cond, body, (jnp.asarray(0), u1, st1))
+        return u, st, 0.5 ** k.astype(dt0.dtype)
+
+    return retry_step
 
 
 def run_transient(

@@ -195,3 +195,74 @@ def test_newton_reports_nonconvergence():
                       max_iter=7)
     assert not bool(res.converged)
     assert int(res.iterations) == 7
+
+
+def test_newton_backtracking_globalizes_atan():
+    """F(u) = atan(u) from u0 = 3: full Newton steps overshoot and diverge
+    (|u| grows every iteration); Armijo backtracking recovers convergence.
+    SURVEY.md §5 failure-recovery item (VERDICT round-1 Weak #6)."""
+    def residual(u):
+        return jnp.arctan(u)
+
+    def lin(u, r):
+        return r * (1.0 + u * u), jnp.array(0, jnp.int32)  # J^{-1} r exactly
+
+    u0 = jnp.full((1,), 3.0)
+    plain = newton_solve(residual, lin, u0, rtol=1e-12, atol=1e-12,
+                         max_iter=8)
+    assert not bool(plain.converged)
+    assert float(jnp.abs(plain.u[0])) > 3.0  # genuinely diverging
+
+    bt = newton_solve(residual, lin, u0, rtol=1e-12, atol=1e-12,
+                      max_iter=25, backtracking=6)
+    assert bool(bt.converged)
+    np.testing.assert_allclose(float(bt.u[0]), 0.0, atol=1e-10)
+
+
+def test_newton_backtracking_noop_when_full_step_good():
+    """On a well-behaved problem backtracking accepts the full step and the
+    iterate sequence matches plain Newton exactly (parity-safe default)."""
+    def residual(u):
+        return u * u - 2.0
+
+    def lin(u, r):
+        return r / (2.0 * u), jnp.array(0, jnp.int32)
+
+    u0 = jnp.full((4,), 3.0)
+    plain = newton_solve(residual, lin, u0, rtol=1e-14, atol=1e-14)
+    bt = newton_solve(residual, lin, u0, rtol=1e-14, atol=1e-14,
+                      backtracking=4)
+    assert bool(bt.converged)
+    assert int(bt.iterations) == int(plain.iterations)
+    np.testing.assert_allclose(np.asarray(bt.u), np.asarray(plain.u),
+                               rtol=1e-15)
+
+
+def test_retrying_step_dt_cut():
+    """make_retrying_step halves dt until the step converges; a step that
+    needs dt <= dt0/4 succeeds on the third attempt with dt_scale 0.25."""
+    from gmpnp_tpu.solve.timeloop import StepStats, make_retrying_step
+
+    def step(u, theta):
+        dt = theta["dt"]
+        ok = dt <= 0.25 + 1e-12
+        u_new = jnp.where(ok, u + dt, u)
+        stats = StepStats(
+            newton_iters=jnp.array(1, jnp.int32),
+            converged=ok,
+            residual_norm=jnp.where(ok, 1e-9, 1.0),
+            linear_iters=jnp.array(0, jnp.int32))
+        return u_new, stats
+
+    retry = make_retrying_step(step, max_retries=3)
+    u0 = jnp.zeros((2,))
+    u1, stats, scale = jax.jit(retry)(u0, {"dt": jnp.asarray(1.0)})
+    assert bool(stats.converged)
+    np.testing.assert_allclose(float(scale), 0.25)
+    np.testing.assert_allclose(np.asarray(u1), 0.25)
+
+    # a hopeless step exhausts retries and reports non-convergence
+    retry2 = make_retrying_step(step, max_retries=1)
+    _, stats2, scale2 = jax.jit(retry2)(u0, {"dt": jnp.asarray(1.0)})
+    assert not bool(stats2.converged)
+    np.testing.assert_allclose(float(scale2), 0.5)
