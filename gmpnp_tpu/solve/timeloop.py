@@ -19,6 +19,7 @@ from typing import Any, Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from gmpnp_tpu.fem.assembly import FemSpace
 from gmpnp_tpu.fem.dirichlet import DirichletBC
@@ -53,8 +54,9 @@ class LinearConfig:
     """Linear-solver selection per model.
 
     kind: 'tridiag_cr' (1D direct, TPU path), 'tridiag_thomas' (1D oracle),
-    'dense' (small systems), 'gmres', 'bicgstab' (3D iterative, replacing
-    MUMPS).
+    'dense' (small systems), 'slab_direct' (3D direct: z-slab block-banded
+    mixed-precision factorization, the TPU-native MUMPS replacement —
+    solve.slab), 'gmres', 'bicgstab' (3D iterative fallbacks).
     """
     kind: str = "tridiag_cr"
     tol: float = 1.0e-8
@@ -63,6 +65,10 @@ class LinearConfig:
     maxiter: int = 300
     precond: str = "block_jacobi"   # 'block_jacobi' | 'ssor'
     ssor_sweeps: int = 1
+    # slab_direct: iterative-refinement budget (f64 polish of the f32
+    # factorization) and an optional cap on slab count (None = bandwidth)
+    max_refine: int = 6
+    max_slabs: Optional[int] = None
     # inner-solve precision for the Krylov kinds: "f32" runs the iteration
     # in native float32 (the TPU-fast path; f64 is emulated ~10x slower and
     # gather-bound) and returns the update in f64.  Inexact-Newton theory
@@ -80,6 +86,13 @@ class StepStats(NamedTuple):
 
 def make_linear_solver(space: FemSpace, form: WeakForm, cfg: LinearConfig):
     """(bc, u_prev, theta) -> callable (u, r) -> (du, linear_iters)."""
+    slab_plan = None
+    if cfg.kind == "slab_direct":
+        from gmpnp_tpu.solve.slab import SlabPlan
+        slab_plan = SlabPlan.build(
+            np.asarray(space.adj), np.asarray(space.points)[:, -1],
+            space.n_fields, np.asarray(space.diag_slot),
+            max_slabs=cfg.max_slabs)
 
     def solver(bc: DirichletBC, u_prev, theta):
         aux = theta.get("_aux") if isinstance(theta, dict) else None
@@ -96,6 +109,11 @@ def make_linear_solver(space: FemSpace, form: WeakForm, cfg: LinearConfig):
                 return block_tridiag_solve_thomas(lo, di, up, r), zero
             if cfg.kind == "dense":
                 return dense_solve(ell, r), zero
+            if cfg.kind == "slab_direct":
+                from gmpnp_tpu.solve.slab import slab_direct_solve
+                res = slab_direct_solve(ell, r, slab_plan, tol=cfg.tol,
+                                        max_refine=cfg.max_refine)
+                return res.x, res.iters
             out_dtype = r.dtype
             if cfg.solve_dtype == "f32":
                 # equilibrate in f64 first: bake the block-Jacobi left

@@ -1,0 +1,162 @@
+"""Slab block-banded direct solver (solve.slab): relayout exactness vs the
+dense matrix, factor/solve vs numpy, mixed-precision refinement to f64
+accuracy on a real assembled pore Jacobian, and Newton-step equivalence
+against the Krylov path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gmpnp_tpu.fem import DirichletBC, FemSpace
+from gmpnp_tpu.fem.assembly import BlockELL
+from gmpnp_tpu.mesh import cylinder_mesh, pore_boundary_markers
+from gmpnp_tpu.solve.slab import (
+    SlabPlan,
+    slab_direct_solve,
+    slab_factor,
+    slab_solve,
+)
+
+
+def _pore_space(n_fields=3, rings=2, layers=10):
+    mesh = cylinder_mesh(100e-9, 10e-9, n_rings=rings, n_layers=layers)
+    mesh = pore_boundary_markers(mesh, 100e-9, 10e-9)
+    return FemSpace.build(mesh, n_fields, quad_degree=2)
+
+
+def _random_ell(space, n_fields, seed=0, dtype=np.float64):
+    """Random symmetric-pattern BlockELL on the space's sparsity with a
+    dominant diagonal (zero blocks on padded self-slots, like assembly)."""
+    rng = np.random.default_rng(seed)
+    adj = np.asarray(space.adj)
+    N, K = adj.shape
+    f = n_fields
+    blocks = rng.standard_normal((N, K, f, f)) * 0.1
+    # zero padded duplicate slots, keep only the true diagonal slot
+    dslot = np.asarray(space.diag_slot)
+    for n in range(N):
+        for k in range(K):
+            if adj[n, k] == n and k != dslot[n]:
+                blocks[n, k] = 0.0
+    blocks[np.arange(N), dslot] += 3.0 * np.eye(f)
+    return BlockELL.from_blocks(
+        jnp.asarray(adj), jnp.asarray(blocks.astype(dtype)),
+        jnp.asarray(dslot))
+
+
+def test_slab_plan_bands_match_dense():
+    space = _pore_space(n_fields=2)
+    ell = _random_ell(space, 2, seed=1)
+    N, f = space.num_vertices, 2
+    plan = SlabPlan.build(np.asarray(space.adj),
+                          np.asarray(space.points)[:, -1], f,
+                          np.asarray(space.diag_slot))
+    lo, di, up = plan.bands(ell, dtype=jnp.float64)
+
+    # reconstruct the permuted dense matrix from the bands
+    S, m = plan.S, plan.m
+    big = np.zeros((S * m, S * m))
+    for s in range(S):
+        big[s*m:(s+1)*m, s*m:(s+1)*m] = np.asarray(di[s])
+        if s > 0:
+            big[s*m:(s+1)*m, (s-1)*m:s*m] = np.asarray(lo[s])
+        if s < S - 1:
+            big[s*m:(s+1)*m, (s+1)*m:(s+2)*m] = np.asarray(up[s])
+
+    dense = np.asarray(ell.to_dense())          # (N*f, N*f), old ordering
+    # permute dense into slab ordering
+    dof_perm = (plan.perm[:, None] * f + np.arange(f)[None, :]).reshape(-1)
+    valid = dof_perm < N * f
+    P = np.nonzero(valid)[0]
+    dp = dof_perm[valid]
+    np.testing.assert_allclose(big[np.ix_(P, P)], dense[np.ix_(dp, dp)],
+                               rtol=0, atol=1e-14)
+    # padded rows are identity
+    pad = np.nonzero(~valid)[0]
+    for i in pad:
+        row = big[i]
+        assert row[i] == 1.0 and np.abs(row).sum() == 1.0
+
+
+def test_slab_factor_solve_vs_numpy():
+    rng = np.random.default_rng(3)
+    S, m = 6, 24
+    lo = rng.standard_normal((S, m, m)) * 0.1
+    up = rng.standard_normal((S, m, m)) * 0.1
+    di = rng.standard_normal((S, m, m)) * 0.1 + 4 * np.eye(m)
+    lo[0] = 0.0
+    up[-1] = 0.0
+    d = rng.standard_normal((S, m))
+
+    big = np.zeros((S * m, S * m))
+    for s in range(S):
+        big[s*m:(s+1)*m, s*m:(s+1)*m] = di[s]
+        if s > 0:
+            big[s*m:(s+1)*m, (s-1)*m:s*m] = lo[s]
+        if s < S - 1:
+            big[s*m:(s+1)*m, (s+1)*m:(s+2)*m] = up[s]
+    x_ref = np.linalg.solve(big, d.reshape(-1)).reshape(S, m)
+
+    factors = slab_factor(jnp.asarray(lo), jnp.asarray(di), jnp.asarray(up))
+    x = np.asarray(slab_solve(factors, jnp.asarray(d)))
+    np.testing.assert_allclose(x, x_ref, rtol=1e-9, atol=1e-10)
+
+
+def test_slab_direct_solve_f64_accuracy():
+    """f32 factorization + f64 refinement reaches 1e-10 relative residual
+    on a random banded system at condition ~1e4."""
+    space = _pore_space(n_fields=3)
+    f = 3
+    ell = _random_ell(space, f, seed=5)
+    # skew the row scales to exercise the equilibration
+    N = space.num_vertices
+    scale = 10.0 ** np.linspace(-2, 2, N)
+    blocks4 = np.asarray(ell.blocks4()) * scale[:, None, None, None]
+    ell = BlockELL.from_blocks(ell.adj, jnp.asarray(blocks4), ell.diag_slot)
+
+    rng = np.random.default_rng(7)
+    rhs = jnp.asarray(rng.standard_normal((N, f)))
+    plan = SlabPlan.build(np.asarray(space.adj),
+                          np.asarray(space.points)[:, -1], f,
+                          np.asarray(space.diag_slot))
+    res = jax.jit(
+        lambda e, r: slab_direct_solve(e, r, plan, tol=1e-10))(ell, rhs)
+    assert bool(res.converged), float(res.resnorm)
+
+    x_ref = np.linalg.solve(np.asarray(ell.to_dense()),
+                            np.asarray(rhs).reshape(-1)).reshape(N, f)
+    err = np.abs(np.asarray(res.x) - x_ref).max() / np.abs(x_ref).max()
+    assert err < 1e-8, err
+
+
+def test_newton_step_slab_vs_bicgstab():
+    """One implicit 3D GMPNP step with kind='slab_direct' matches the
+    round-1 BiCGStab path to Krylov-tolerance accuracy."""
+    from gmpnp_tpu.models import pore_3d
+    from gmpnp_tpu.solve.timeloop import LinearConfig, make_implicit_step
+
+    cfg = pore_3d.Pore3DConfig(physics="GMPNP", L=100e-9, R=10e-9,
+                               mesh_resolution=(2, 8))
+    prog = pore_3d.build(cfg)
+    nf, ns = cfg.n_fields, len(cfg.species)
+    theta = {"dt": jnp.asarray(prog.dt_scaled),
+             "co2_s1": jnp.asarray(prog.eq_conc["CO2"]
+                                   / prog.bulk_conc["CO2"])}
+    u0 = jnp.ones((prog.space.num_vertices, nf)).at[:, ns].set(0.0)
+
+    step_k = make_implicit_step(
+        prog.space, prog.form, cfg.newton,
+        LinearConfig(kind="bicgstab", tol=1e-10, maxiter=20000),
+        bc_of_theta=prog._bc_of_theta)
+    step_d = make_implicit_step(
+        prog.space, prog.form, cfg.newton,
+        LinearConfig(kind="slab_direct", tol=1e-10),
+        bc_of_theta=prog._bc_of_theta)
+
+    u_k, st_k = jax.jit(step_k)(u0, theta)
+    u_d, st_d = jax.jit(step_d)(u0, theta)
+    assert bool(st_k.converged) and bool(st_d.converged)
+    assert int(st_d.newton_iters) <= int(st_k.newton_iters)
+    np.testing.assert_allclose(np.asarray(u_d), np.asarray(u_k),
+                               rtol=2e-6, atol=2e-8)
