@@ -31,6 +31,14 @@ def build_parser():
     p.add_argument("--dry_run", type=_bool, default=True,
                    help="100-step smoke run")
     p.add_argument("--out_root", type=str, default=None)
+    p.add_argument("--n_steps", type=int, default=None,
+                   help="override number of time steps (debug)")
+    p.add_argument("--record_stride", type=int, default=1,
+                   help="record every k-th step (bounds history memory)")
+    p.add_argument("--checkpoint_dir", type=str, default=None,
+                   help="chunked orbax checkpointing; resumes from the "
+                        "latest step in this directory if present")
+    p.add_argument("--checkpoint_every", type=int, default=1000)
     return p
 
 
@@ -51,7 +59,10 @@ def main(argv=None):
                      else args.params_file),
         dry_run=args.dry_run,
     )
-    res = edl_1d.run(cfg, out_root=args.out_root)
+    res = edl_1d.run(cfg, out_root=args.out_root, n_steps=args.n_steps,
+                     record_stride=args.record_stride,
+                     checkpoint_dir=args.checkpoint_dir,
+                     checkpoint_every=args.checkpoint_every)
     print(res["run_dir"])
     return res
 

@@ -29,6 +29,15 @@ def add_common_pore_args(p):
     p.add_argument("--out_root", type=str, default=None)
     p.add_argument("--n_steps", type=int, default=None,
                    help="override number of time steps (debug)")
+    p.add_argument("--mesh_resolution", type=int, nargs=2, default=None,
+                   metavar=("RINGS", "LAYERS"),
+                   help="generated-mesh resolution override (debug scale)")
+    p.add_argument("--record_stride", type=int, default=1,
+                   help="record every k-th step (bounds history memory)")
+    p.add_argument("--checkpoint_dir", type=str, default=None,
+                   help="chunked orbax checkpointing; resumes from the "
+                        "latest step in this directory if present")
+    p.add_argument("--checkpoint_every", type=int, default=100)
 
 
 def build_parser():
@@ -61,6 +70,8 @@ def config_from_args(args, physics):
         electrolyte_flow_geom_multiplier=args.electrolyte_flow_geom_multiplier,
         roughness_factor=args.roughness_factor,
     )
+    if getattr(args, "mesh_resolution", None):
+        kw["mesh_resolution"] = tuple(args.mesh_resolution)
     if physics == "GMPNP":
         kw["voltage_multiplier"] = args.voltage_multiplier
         kw["faithful"] = not args.corrected_fluxes
@@ -70,7 +81,10 @@ def config_from_args(args, physics):
 def main(argv=None):
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args, "GMPNP")
-    res = pore_3d.run(cfg, out_root=args.out_root, n_steps=args.n_steps)
+    res = pore_3d.run(cfg, out_root=args.out_root, n_steps=args.n_steps,
+                      record_stride=args.record_stride,
+                      checkpoint_dir=args.checkpoint_dir,
+                      checkpoint_every=args.checkpoint_every)
     print(res["run_dir"])
     return res
 

@@ -18,7 +18,10 @@ def build_parser():
 def main(argv=None):
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args, "rxn_diff")
-    res = pore_3d.run(cfg, out_root=args.out_root, n_steps=args.n_steps)
+    res = pore_3d.run(cfg, out_root=args.out_root, n_steps=args.n_steps,
+                      record_stride=args.record_stride,
+                      checkpoint_dir=args.checkpoint_dir,
+                      checkpoint_every=args.checkpoint_every)
     print(res["run_dir"])
     return res
 

@@ -24,7 +24,9 @@ def build_parser():
     p.add_argument("--sweep", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="run the hardcoded OHP-results voltage sweep")
-    p.add_argument("--plots", action="store_true")
+    p.add_argument("--plots", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="write V_x.png/field_x.png (ref writes them always)")
     p.add_argument("--out_root", type=str, default=None)
     return p
 

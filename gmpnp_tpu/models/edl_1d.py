@@ -163,7 +163,12 @@ class EDL1DProgram:
         vals = [chf / 1.1, chf / 1.05, chf / 1.01, chf * 1.04, chf * 1.15]
         return jnp.select(conds, vals, chf)
 
-    def run(self, n_steps: Optional[int] = None):
+    def run(self, n_steps: Optional[int] = None, record_stride: int = 1,
+            checkpoint_dir: Optional[str] = None,
+            checkpoint_every: int = 1000):
+        """record_stride bounds on-device history (the full run is 20,000
+        steps, ref :270-290); checkpoint_dir enables chunked orbax
+        checkpointing with automatic resume (SURVEY §5)."""
         cfg = self.config
         n = self.tot_num_steps if n_steps is None else n_steps
         step = make_implicit_step(
@@ -173,10 +178,26 @@ class EDL1DProgram:
             [jnp.ones((self.space.num_vertices, 6)),
              jnp.zeros((self.space.num_vertices, 1))], axis=1)
         chf0 = jnp.asarray(0.001 if cfg.H_OHP is not None else 0.0)
-        (u_final, chf), (u_hist, stats) = run_transient(
-            step, (u0, chf0), n,
-            theta_of_carry=lambda carry, i: self._theta_of_carry(carry, i),
-            update_carry=lambda extra, u, i: self._update_carry(extra, u, i))
+        if checkpoint_dir:
+            from gmpnp_tpu.io.checkpoint import (
+                TransientCheckpointer,
+                run_transient_checkpointed,
+            )
+            ckpt = TransientCheckpointer(checkpoint_dir, cfg=cfg)
+            (u_final, chf), ys = run_transient_checkpointed(
+                step, (u0, chf0), n, ckpt, chunk=checkpoint_every,
+                theta_of_carry=self._theta_of_carry,
+                update_carry=self._update_carry)
+            ckpt.close()
+            if ys is None:
+                return u0, np.asarray(u_final)[None][:0], None, float(chf)
+            u_hist, stats = ys
+        else:
+            (u_final, chf), (u_hist, stats) = run_transient(
+                step, (u0, chf0), n,
+                theta_of_carry=self._theta_of_carry,
+                update_carry=self._update_carry,
+                record_stride=record_stride)
         return u0, u_hist, stats, float(chf)
 
 
@@ -329,12 +350,16 @@ def scale_back(tau, C, species, initial_conc, diff_coeff, L_n, L_debye):
 
 def run(cfg: EDL1DConfig, out_root: Optional[str] = None,
         write: bool = True, n_steps: Optional[int] = None,
-        verbose: bool = False):
+        verbose: bool = False, record_stride: int = 1,
+        checkpoint_dir: Optional[str] = None,
+        checkpoint_every: int = 1000):
     """Full reference-parity run with npz/metadata outputs
     (key sets per 1D/MPNP_CO2ER_EDL.py:821-832,906-924,960-989)."""
     prog = build(cfg)
-    u0, u_hist, stats, current_H_frac = prog.run(n_steps=n_steps)
-    if verbose:
+    u0, u_hist, stats, current_H_frac = prog.run(
+        n_steps=n_steps, record_stride=record_stride,
+        checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every)
+    if verbose and stats is not None:
         from gmpnp_tpu.utils import StepLogger
         StepLogger(every=max(1, u_hist.shape[0] // 50)).log_run(stats)
     n = u_hist.shape[0]
@@ -347,14 +372,24 @@ def run(cfg: EDL1DConfig, out_root: Optional[str] = None,
     unscaled["p"] = hist[:, :, P]
 
     # tau grid mirrors the reference staging (ref :807-815)
-    if n <= sch["n1"]:
-        tau_array = np.linspace(0, n * sch["dt1"], n)
+    n_req = n_steps if n_steps is not None else prog.tot_num_steps
+    if record_stride == 1 and n == n_req:
+        if n <= sch["n1"]:
+            tau_array = np.linspace(0, n * sch["dt1"], n)
+        else:
+            T1 = sch["n1"] * sch["dt1"]
+            n2 = n - sch["n1"]
+            tau_1 = np.linspace(0, T1, sch["n1"])
+            tau_2 = np.linspace(T1 + sch["dt2"], T1 + n2 * sch["dt2"], n2)
+            tau_array = np.concatenate([tau_1, tau_2])
     else:
-        T1 = sch["n1"] * sch["dt1"]
-        n2 = n - sch["n1"]
-        tau_1 = np.linspace(0, T1, sch["n1"])
-        tau_2 = np.linspace(T1 + sch["dt2"], T1 + n2 * sch["dt2"], n2)
-        tau_array = np.concatenate([tau_1, tau_2])
+        # strided and/or resumed history: exact staged times of the
+        # recorded absolute step indices
+        offset = n_req - n * record_stride
+        idx = offset + record_stride * np.arange(1, n + 1)
+        tau_array = np.where(
+            idx <= sch["n1"], idx * sch["dt1"],
+            sch["n1"] * sch["dt1"] + (idx - sch["n1"]) * sch["dt2"])
 
     coor = np.asarray(prog.mesh.points)
 

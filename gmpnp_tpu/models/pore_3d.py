@@ -200,7 +200,17 @@ class Pore3DProgram:
                                  theta["co2_s1"])
 
     def run(self, n_steps: Optional[int] = None,
-            record_full: bool = True):
+            record_full: bool = True, record_stride: int = 1,
+            checkpoint_dir: Optional[str] = None,
+            checkpoint_every: int = 100):
+        """Run the transient.
+
+        record_stride bounds the on-device history to every k-th step;
+        checkpoint_dir enables chunked orbax checkpointing with automatic
+        resume from the latest step (SURVEY §5 checkpoint/resume — the
+        reference loses everything on a crash because outputs are written
+        only after the loop, 1D/MPNP_CO2ER_EDL.py:821).
+        """
         cfg = self.config
         n = self.num_steps if n_steps is None else n_steps
         step = make_implicit_step(
@@ -211,12 +221,28 @@ class Pore3DProgram:
         u0 = jnp.ones((self.space.num_vertices, nf))
         if cfg.physics == "GMPNP":
             u0 = u0.at[:, ns].set(0.0)   # potential starts grounded
-        record = None if record_full else (
-            lambda u, stats: (u[self.s1_verts[:1]], stats))
-        (u_final, _), ys = run_transient(
-            step, (u0, jnp.asarray(0.0)), n,
-            theta_of_carry=self._theta_of_carry,
-            record=record)
+        if checkpoint_dir:
+            from gmpnp_tpu.io.checkpoint import (
+                TransientCheckpointer,
+                run_transient_checkpointed,
+            )
+            ckpt = TransientCheckpointer(checkpoint_dir, cfg=cfg)
+            (u_final, _), ys = run_transient_checkpointed(
+                step, (u0, jnp.asarray(0.0)), n, ckpt,
+                chunk=checkpoint_every,
+                theta_of_carry=self._theta_of_carry)
+            ckpt.close()
+            if ys is None:   # resumed at the final step: no new history
+                stats = None
+                u_hist = np.asarray(u_final)[None][:0]
+                return u0, u_hist, stats, u_final
+        else:
+            record = None if record_full else (
+                lambda u, stats: (u[self.s1_verts[:1]], stats))
+            (u_final, _), ys = run_transient(
+                step, (u0, jnp.asarray(0.0)), n,
+                theta_of_carry=self._theta_of_carry,
+                record=record, record_stride=record_stride)
         u_hist, stats = ys
         return u0, u_hist, stats, u_final
 
@@ -400,12 +426,16 @@ def scale_conc_time(C, grad_c, bulk, tau, D_eff, L):
 
 def run(cfg: Pore3DConfig, out_root: Optional[str] = None,
         write: bool = True, n_steps: Optional[int] = None,
-        write_vtk: bool = True, verbose: bool = False):
+        write_vtk: bool = True, verbose: bool = False,
+        record_stride: int = 1, checkpoint_dir: Optional[str] = None,
+        checkpoint_every: int = 100):
     """Full reference-parity run (npz/metadata/VTK key sets per
     3D/MPNP_CO2ER_pore.py:862-1085 and 3D/rxn_diff_CO2ER_pore.py:602-784)."""
     prog = build(cfg)
-    u0, u_hist, stats, u_final = prog.run(n_steps=n_steps)
-    if verbose:
+    u0, u_hist, stats, u_final = prog.run(
+        n_steps=n_steps, record_stride=record_stride,
+        checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every)
+    if verbose and stats is not None:
         from gmpnp_tpu.utils import StepLogger
         StepLogger(every=max(1, u_hist.shape[0] // 50)).log_run(
             stats, dt_phys=cfg.time_step)
@@ -420,8 +450,16 @@ def run(cfg: Pore3DConfig, out_root: Optional[str] = None,
     sp_of = {nm: (cfg.cation if nm == "cat" else nm) for nm in names}
     unscaled = {nm: hist[:, :, idx[sp_of[nm]]] for nm in names}
 
-    T = prog.dt_scaled * n
-    tau_array = np.linspace(0, T, n)
+    n_req = n_steps if n_steps is not None else prog.num_steps
+    if record_stride == 1 and n == n_req:
+        T = prog.dt_scaled * n
+        tau_array = np.linspace(0, T, n)     # reference convention
+    else:
+        # strided and/or resumed history: exact absolute step times —
+        # recorded row j is step  (n_req - n*stride) + (j+1)*stride
+        offset = n_req - n * record_stride
+        tau_array = prog.dt_scaled * (
+            offset + record_stride * np.arange(1, n + 1))
     coor = np.asarray(prog.mesh.points)
 
     # final-state gradient projections (ref :884-909) — all fields in one

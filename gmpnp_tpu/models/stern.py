@@ -154,7 +154,7 @@ def run(
     out_root: Optional[str] = None,
     write: bool = True,
     arg_order: str = "reference",
-    make_plots: bool = False,
+    make_plots: bool = True,
 ):
     """Voltage sweep over the OHP-results table (ref :179-180), one output
     folder per voltage multiplier."""
@@ -183,7 +183,12 @@ def run(
                          res["x_scaled"], res["potential"])
             _write_metadata_txt(paths.file("metadata.txt"), res)
             if make_plots:
-                _save_plots(paths, res, v)
+                # the reference writes the profile PNGs unconditionally
+                # (ref :118-136); gate only on matplotlib availability
+                try:
+                    _save_plots(paths, res, v)
+                except ImportError:
+                    pass
             res["run_dir"] = paths.run_dir
     return out
 

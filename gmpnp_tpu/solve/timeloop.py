@@ -238,6 +238,7 @@ def run_transient(
     theta_of_carry: Optional[Callable] = None,
     record: Optional[Callable] = None,
     jit: bool = True,
+    record_stride: int = 1,
 ):
     """Generic transient driver.
 
@@ -248,6 +249,13 @@ def run_transient(
         y = record(u_new, stats)
 
     Returns (final_carry, stacked_ys).
+
+    ``record_stride=k`` bounds the recorded history to every k-th step
+    (the reference vstacks every field at every step with unbounded
+    memory, 1D/MPNP_CO2ER_EDL.py:757-763; SURVEY §5 asks for bounded
+    history).  Implemented as a nested scan — the inner scan advances k
+    steps, the outer scan emits one record per k — so the history buffer
+    on device is n_steps/k, not n_steps.  Requires k | n_steps.
     """
     if update_carry is None:
         update_carry = lambda extra, u, i: extra
@@ -263,8 +271,28 @@ def run_transient(
         extra_new = update_carry(extra, u_new, i)
         return (u_new, extra_new), record(u_new, stats)
 
-    def run(carry0):
-        return jax.lax.scan(body, carry0, jnp.arange(n_steps))
+    if record_stride <= 1:
+        def run(carry0):
+            return jax.lax.scan(body, carry0, jnp.arange(n_steps))
+    else:
+        k = record_stride
+        if n_steps % k:
+            raise ValueError(
+                f"record_stride {k} must divide n_steps {n_steps}")
+
+        # advance k steps per outer iteration, keep only the k-th record
+        def outer_body(carry, j):
+            def inner(carry, jj):
+                new_carry, _ = body(carry, j * k + jj)
+                return new_carry, None
+
+            carry2, _ = jax.lax.scan(inner, carry, jnp.arange(k - 1))
+            carry3, y = body(carry2, j * k + (k - 1))
+            return carry3, y
+
+        def run(carry0):
+            return jax.lax.scan(outer_body, carry0,
+                                jnp.arange(n_steps // k))
 
     if jit:
         run = jax.jit(run)

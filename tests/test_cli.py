@@ -103,3 +103,44 @@ def test_iv_reader(tmp_path):
     volt, HCOO, CO, H2 = read_iv_data(str(p))
     assert volt == [-1.0, -1.5]
     assert CO == [0.5, 0.9]
+
+
+def test_pore_cli_kill_and_resume(tmp_path):
+    """Checkpointed CLI run killed after 2 steps and resumed to 4 produces
+    the same final fields as an uninterrupted 4-step run (VERDICT round-1
+    item 9: checkpointing wired into the CLIs)."""
+    from gmpnp_tpu.cli import pore_3d as cli
+
+    common = ["--L", "100e-9", "--R", "10e-9", "--mesh_resolution", "2", "8",
+              "--out_root"]
+    ck = str(tmp_path / "ckpt")
+
+    # uninterrupted reference run
+    res_full = cli.main(common + [str(tmp_path / "full"), "--n_steps", "4"])
+
+    # "killed" after 2 steps (checkpoint saved), then resumed to 4
+    cli.main(common + [str(tmp_path / "part"), "--n_steps", "2",
+                       "--checkpoint_dir", ck, "--checkpoint_every", "2"])
+    res_res = cli.main(common + [str(tmp_path / "resumed"), "--n_steps", "4",
+                                 "--checkpoint_dir", ck,
+                                 "--checkpoint_every", "2"])
+
+    a = np.load(os.path.join(res_full["run_dir"], "arrays_unscaled.npz"))
+    b = np.load(os.path.join(res_res["run_dir"], "arrays_unscaled.npz"))
+    for k in a:
+        np.testing.assert_allclose(b[k][-1], a[k][-1], rtol=1e-10,
+                                   atol=1e-12)
+
+
+def test_pore_cli_record_stride(tmp_path):
+    from gmpnp_tpu.cli import pore_3d as cli
+
+    res = cli.main(["--L", "100e-9", "--R", "10e-9",
+                    "--mesh_resolution", "2", "8",
+                    "--out_root", str(tmp_path), "--n_steps", "4",
+                    "--record_stride", "2"])
+    a = np.load(os.path.join(res["run_dir"], "arrays_unscaled.npz"))
+    for k in ("H", "OH", "HCO3", "CO32", "CO2", "CO", "H2", "cat", "p"):
+        assert a[k].shape[0] == 3   # u0 + 2 recorded states
+        assert np.isfinite(a[k]).all()
+    assert a["tau"].shape[0] == 2

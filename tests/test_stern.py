@@ -70,6 +70,9 @@ def test_sweep_outputs(tmp_path):
         assert os.path.exists(os.path.join(d, "metadata.txt"))
         assert os.path.exists(os.path.join(d, f"stern_unscaled_BDM{v}.npz"))
         assert os.path.exists(os.path.join(d, f"stern_scaled_BDM{v}.npz"))
+        # reference writes the profile plots per run (ref :118-136)
+        assert os.path.exists(os.path.join(d, "V_x.png"))
+        assert os.path.exists(os.path.join(d, "field_x.png"))
         txt = open(os.path.join(d, "metadata.txt")).read()
         assert "voltage at the electrode" in txt
         # negative applied potential: electrode more negative than OHP in

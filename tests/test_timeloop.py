@@ -53,3 +53,30 @@ def test_controller_feeds_fluxes():
         prog.J_pref["H"] * current * 0.5)
     assert float(th5["J_OH"]) == pytest.approx(
         -prog.J_pref["OH"] * current * 0.5)
+
+
+def test_record_stride_matches_full_history():
+    """record_stride=k keeps exactly every k-th state and the same final
+    carry as the unstrided run (bounded-history item, SURVEY §5)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gmpnp_tpu.solve.timeloop import StepStats, run_transient
+
+    def step(u, theta):
+        stats = StepStats(jnp.array(1, jnp.int32), jnp.asarray(True),
+                          jnp.asarray(0.0), jnp.array(0, jnp.int32))
+        return u * 1.5 + 1.0, stats
+
+    u0 = jnp.ones((3,))
+    (uf_full, _), (hist_full, _) = run_transient(step, (u0, None), 6)
+    (uf_k, _), (hist_k, _) = run_transient(step, (u0, None), 6,
+                                           record_stride=3)
+    np.testing.assert_allclose(np.asarray(uf_k), np.asarray(uf_full))
+    assert hist_k.shape[0] == 2
+    np.testing.assert_allclose(np.asarray(hist_k),
+                               np.asarray(hist_full)[[2, 5]])
+
+    import pytest
+    with pytest.raises(ValueError):
+        run_transient(step, (u0, None), 7, record_stride=3)
