@@ -1,155 +1,211 @@
-"""Headline benchmark: 3D GMPNP pore voltage-sweep throughput.
+"""Headline benchmark: 3D GMPNP pore transient at reference scale.
 
-BASELINE.json's config 5 is "3D GMPNP pore with voltage/cation sweep" — and
-parameter sweeps are the reference's actual production mode (independent
-cluster jobs per flag setting, README.md:37-39).  This benchmark runs the
-first N_STEPS backward-Euler steps of the 3D GMPNP pore transient for
-SWEEP_W wall voltages as ONE vmapped XLA program (damped Newton, BiCGStab +
-block-Jacobi inner solves, per-step Sechenov BC update per lane) and reports
-the throughput per (config x step).  Mesh: generated cylinder at (3 rings,
-24 layers), the largest batched workload that fits the current toolchain's
-tile-padding behavior in HBM (docs/TPU_NOTES.md).
+BASELINE.json config 5 is the 3D GMPNP pore (the reference's headline
+workload: 9 fields x ~3.6k nodes x 1,000 backward-Euler steps under
+MUMPS, 3D/MPNP_CO2ER_pore.py:329-365).  This benchmark runs the first
+N_STEPS steps of that transient on the shipped L_50_R_5 mesh (3,679
+nodes / 17,297 tets; regenerated if the reference data is not mounted)
+with the framework's production configuration: damped Newton over the
+z-slab block-banded mixed-precision direct solver (solve.slab — the
+TPU-native MUMPS replacement).  A second config benches the 1D GMPNP
+EDL flagship (BASELINE config 2, dry-run length).
 
-vs_baseline compares against a single host CPU core doing the same work
-sequentially (the BASELINE.json axis: "target >= 10x single-CPU-core"):
-    vs_baseline = cpu_seconds_per_config_step / sweep_seconds_per_config_step
-The CPU single-config cost is measured once and cached in-repo
-(bench_cpu_baseline.json), keyed by the benchmark config.
-
-Timing protocol: jax-AOT compile, then exactly ONE timed execution ending in
-a value fetch — on the tunneled TPU backend re-executing a compiled program
-faults the worker and block_until_ready does not surface async faults
-(docs/TPU_NOTES.md).
+Protocol (round-2: the tunneled backend now supports re-executing a
+compiled program): AOT-compile, one warm-up execution, then the median
+of REPS timed executions, each ending in a value fetch
+(block_until_ready does not surface async faults through the tunnel,
+docs/TPU_NOTES.md).  Reported per config:
+  - ms per transient step
+  - ms per Newton iteration (the BASELINE.md metric; normalizes away
+    steps that converge in zero iterations once the transient settles)
+  - vs_baseline: CPU-backend wall-clock for the same compiled program
+    on this host / TPU wall-clock (the BASELINE.json axis "target >=
+    10x single-CPU-core"; the XLA CPU backend is multi-threaded, so
+    this undercounts the advantage vs one core).
+CPU costs are measured once and cached in bench_cpu_baseline.json,
+keyed by config.
 
 Prints ONE JSON line:
-    {"metric": ..., "value": ms per config-step, "unit": "ms/step",
-     "vs_baseline": ...}
+    {"metric": ..., "value": <ms/step of the 3D headline config>,
+     "unit": "ms/step", "vs_baseline": ..., "extra": {...}}
 """
 
 import json
 import os
 import time
 
-N_STEPS = 8           # timed transient window (from the initial state)
-SWEEP_W = 8           # vmapped voltage lanes
-_CPU_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          "bench_cpu_baseline.json")
-_BENCH_KEY = "pore3d_gmpnp/r3l24/steps8/bj/v3"
+import numpy as np
+
+N_STEPS = 8
+REPS = 3
+HERE = os.path.dirname(os.path.abspath(__file__))
+_CPU_CACHE = os.path.join(HERE, "bench_cpu_baseline.json")
+os.environ.setdefault("GMPNP_UTILITIES", "/root/reference/utilities")
 
 
-def _build(n_rings=3, n_layers=24):
+def _build_pore():
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from gmpnp_tpu.models import pore_3d
     from gmpnp_tpu.solve.timeloop import make_implicit_step
 
-    cfg = pore_3d.Pore3DConfig(
-        physics="GMPNP", L=100e-9, R=10e-9,
-        mesh_resolution=(n_rings, n_layers))
+    cfg = pore_3d.Pore3DConfig(physics="GMPNP", L=50e-9, R=5e-9)
     prog = pore_3d.build(cfg)
-    nf = cfg.n_fields
-    ns = len(cfg.species)
+    nf, ns = cfg.n_fields, len(cfg.species)
+    step = make_implicit_step(prog.space, prog.form, cfg.newton, cfg.linear,
+                              bc_of_theta=prog._bc_of_theta)
 
-    s2 = np.unique(prog.mesh.facets[
-        prog.mesh.facet_markers == pore_3d.S2].reshape(-1))
+    def run(u0):
+        def body(carry, i):
+            u, extra = carry
+            th = prog._theta_of_carry((u, extra), i)
+            u_new, st = step(u, th)
+            return (u_new, extra), st.newton_iters
 
-    def bc_of_theta(theta):
-        bc = prog.bc.set_value(prog.s1_verts, prog.idx["CO2"],
-                               theta["co2_s1"])
-        if "voltage" in theta:
-            bc = bc.set_value(s2, ns, theta["voltage"])
-        return bc
-
-    step = make_implicit_step(
-        prog.space, prog.form, cfg.newton, cfg.linear,
-        bc_of_theta=bc_of_theta)
-
-    def make_run(n, sweep):
-        def run_one(u0, v):
-            def body(carry, i):
-                u, extra = carry
-                theta = prog._theta_of_carry((u, extra), i)
-                if sweep:
-                    theta["voltage"] = v
-                u_new, stats = step(u, theta)
-                return (u_new, extra), stats.newton_iters
-
-            (u, _), iters = jax.lax.scan(
-                body, (u0, jnp.asarray(0.0)), jnp.arange(n))
-            return u, iters
-
-        return run_one
+        (u, _), iters = jax.lax.scan(
+            body, (u0, jnp.asarray(0.0)), jnp.arange(N_STEPS))
+        return u, iters
 
     u0 = jnp.ones((prog.space.num_vertices, nf)).at[:, ns].set(0.0)
-    return make_run, u0, prog
+    key = f"pore3d_gmpnp/L50R5/N{prog.space.num_vertices}/steps{N_STEPS}/slab/v4"
+    return run, u0, key, prog.space.num_vertices
 
 
-def _aot_time(fn, args, device):
-    """Compile ahead of time; time exactly one execution + scalar fetch."""
+def _build_edl():
+    import jax
+    import jax.numpy as jnp
+
+    from gmpnp_tpu.models import edl_1d
+
+    cfg = edl_1d.EDL1DConfig(L_n=1.0e-6, dry_run=True)
+    prog = edl_1d.build(cfg)
+    from gmpnp_tpu.solve.timeloop import make_implicit_step
+
+    step = make_implicit_step(prog.space, prog.form, cfg.newton, cfg.linear,
+                              bc_of_theta=lambda theta: prog.bc)
+    n = 100   # dry-run schedule length (ref 1D/MPNP_CO2ER_EDL.py:256-268)
+
+    def run(u0):
+        def body(carry, i):
+            u, chf = carry
+            th = prog._theta_of_carry((u, chf), i)
+            u_new, st = step(u, th)
+            chf = prog._update_carry(chf, u_new, i)
+            return (u_new, chf), st.newton_iters
+
+        (u, _), iters = jax.lax.scan(
+            body, (u0, jnp.asarray(0.001 if cfg.H_OHP is not None else 0.0)),
+            jnp.arange(n))
+        return u, iters
+
+    u0 = jnp.concatenate(
+        [jnp.ones((prog.space.num_vertices, 6)),
+         jnp.zeros((prog.space.num_vertices, 1))], axis=1)
+    key = f"edl1d_gmpnp/1um/N{prog.space.num_vertices}/steps{n}/cr/v4"
+    return run, u0, key, n
+
+
+def _timed_run(run, u0, device, reps=REPS):
+    """AOT compile on device; warm-up; median of reps (exec + fetch)."""
     import jax
 
-    args = [jax.device_put(a, device) for a in args]
-    compiled = jax.jit(fn).lower(*args).compile()
-    t0 = time.perf_counter()
-    out, iters = compiled(*args)
+    u0d = jax.device_put(u0, device)
+    compiled = jax.jit(run).lower(u0d).compile()
+    out, iters = compiled(u0d)
     chk = float(abs(out).sum())
-    dt = time.perf_counter() - t0
-    assert chk == chk and chk != float("inf"), "non-finite bench result"
-    return dt, iters
+    assert np.isfinite(chk), "non-finite bench result"
+    n_newton = int(np.asarray(iters).sum())
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out, iters = compiled(u0d)
+        chk = float(abs(out).sum())
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts)), float(np.std(ts)), n_newton
+
+
+def _cpu_seconds(run, u0, key):
+    """Same compiled program on the host CPU backend (cached by key)."""
+    import jax
+
+    cache = {}
+    if os.path.exists(_CPU_CACHE):
+        try:
+            cache = json.load(open(_CPU_CACHE))
+        except Exception:
+            cache = {}
+    if cache.get(key) is not None:
+        return float(cache[key])
+    cpu = jax.devices("cpu")[0]
+    t, _, _ = _timed_run(run, u0, cpu, reps=1)
+    cache[key] = t
+    with open(_CPU_CACHE, "w") as f:
+        json.dump(cache, f, indent=1)
+    return t
 
 
 def main():
     import jax
-    import jax.numpy as jnp
 
-    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         ".jax_cache")
     try:
-        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update(
+            "jax_compilation_cache_dir", os.path.join(HERE, ".jax_cache"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     except Exception:
         pass
 
-    make_run, u0, prog = _build()
     accel = jax.devices()[0]
+    extra = {}
 
-    # Single-config transient.  The vmapped voltage sweep (the intended
-    # headline, parallel/sweep.py; exact on CPU) currently faults the TPU
-    # worker under the toolchain's tile-padding/vmap behavior — see
-    # docs/TPU_NOTES.md; revisit when the runtime issue is resolved.
-    run_one = make_run(N_STEPS, sweep=False)
-    sweep_s, _ = _aot_time(lambda u: run_one(u, None), [u0], accel)
-    per_config_step = sweep_s / N_STEPS
-
-    # single-CPU-core single-config reference (cached)
+    # ---- config 5: 3D GMPNP pore at reference mesh size (headline) -------
+    run_p, u0_p, key_p, N = _build_pore()
+    t_tpu, t_std, n_newton = _timed_run(run_p, u0_p, accel)
+    ms_step = t_tpu / N_STEPS * 1e3
+    extra["pore3d"] = {
+        "mesh_nodes": N,
+        "ms_per_step": round(ms_step, 2),
+        "ms_per_newton_iter": round(t_tpu / max(n_newton, 1) * 1e3, 2),
+        "newton_iters": n_newton,
+        "spread_ms": round(t_std / N_STEPS * 1e3, 2),
+        "reps": REPS,
+    }
     vs_baseline = None
     try:
-        cpu = jax.devices("cpu")[0]
-        cpu_s_per_step = None
-        if os.path.exists(_CPU_CACHE):
-            c = json.load(open(_CPU_CACHE))
-            if c.get("key") == _BENCH_KEY:
-                cpu_s_per_step = c["cpu_s_per_step"]
-        if cpu_s_per_step is None:
-            run_cpu = make_run(N_STEPS, sweep=False)
-            cpu_total, _ = _aot_time(
-                lambda u: run_cpu(u, None), [u0], cpu)
-            cpu_s_per_step = cpu_total / N_STEPS
-            with open(_CPU_CACHE, "w") as f:
-                json.dump({"key": _BENCH_KEY,
-                           "cpu_s_per_step": cpu_s_per_step}, f)
-        vs_baseline = cpu_s_per_step / per_config_step
-    except Exception:
-        vs_baseline = None
+        t_cpu = _cpu_seconds(run_p, u0_p, key_p)
+        vs_baseline = t_cpu / t_tpu
+        extra["pore3d"]["cpu_ms_per_step"] = round(t_cpu / N_STEPS * 1e3, 2)
+    except Exception as e:
+        extra["pore3d"]["cpu_error"] = f"{type(e).__name__}: {e}"
+
+    # ---- config 2: 1D GMPNP EDL flagship ----------------------------------
+    try:
+        run_e, u0_e, key_e, n_e = _build_edl()
+        t_tpu_e, t_std_e, n_newton_e = _timed_run(run_e, u0_e, accel)
+        extra["edl1d"] = {
+            "ms_per_step": round(t_tpu_e / n_e * 1e3, 3),
+            "ms_per_newton_iter": round(
+                t_tpu_e / max(n_newton_e, 1) * 1e3, 3),
+            "newton_iters": n_newton_e,
+            "spread_ms": round(t_std_e / n_e * 1e3, 3),
+        }
+        try:
+            t_cpu_e = _cpu_seconds(run_e, u0_e, key_e)
+            extra["edl1d"]["vs_baseline"] = round(t_cpu_e / t_tpu_e, 3)
+            extra["edl1d"]["cpu_ms_per_step"] = round(
+                t_cpu_e / n_e * 1e3, 3)
+        except Exception as e:
+            extra["edl1d"]["cpu_error"] = f"{type(e).__name__}: {e}"
+    except Exception as e:
+        extra["edl1d"] = {"error": f"{type(e).__name__}: {e}"}
 
     print(json.dumps({
-        "metric": "pore3d_gmpnp_transient_step",
-        "value": round(per_config_step * 1e3, 3),
+        "metric": "pore3d_gmpnp_transient_step_L50R5",
+        "value": round(ms_step, 3),
         "unit": "ms/step",
         "vs_baseline": (round(vs_baseline, 3)
                         if vs_baseline is not None else None),
+        "extra": extra,
     }))
 
 

@@ -95,18 +95,16 @@ class Pore3DConfig:
     mesh_resolution: Optional[Tuple[int, int]] = None  # (n_rings, n_layers)
     newton: NewtonConfig = field(default_factory=lambda: NewtonConfig(
         max_iter=50, rtol=1.0e-4, atol=1.0e-4, relaxation=0.9))  # ref :789-799
-    # default preconditioner is block-Jacobi: the stronger multicolor SSOR
-    # (precond='ssor', ~2-3x fewer Krylov iterations) currently triggers a
-    # Mosaic kernel fault inside Newton loops on TPU (emulated f64); use it
-    # on CPU or once the toolchain fix lands.
-    # f64 BiCGStab inner solves: the coupled systems run at condition
-    # ~1e6+, beyond what f32 Krylov accuracy (~eps*cond) resolves.  The
-    # solver's transient-excursion cap (solve.linear) keeps values inside
-    # the f32 exponent range of TPU-emulated f64; GMRES (inherently
-    # bounded, more dots per iteration) is available via config.
+    # Default: the z-slab block-banded direct solver (solve.slab) — the
+    # TPU-native MUMPS replacement (the reference's 3D solver choice,
+    # 3D/MPNP_CO2ER_pore.py:787-799).  f32 block-Thomas factorization on
+    # the MXU + f64 GMRES polish; converges each Newton linear system in
+    # ~3-15 inner iterations where round 1's block-Jacobi BiCGStab needed
+    # ~1e3 (9,489 Krylov iterations on the first bench step).  BiCGStab/
+    # GMRES with block-Jacobi or multicolor-SSOR preconditioning remain
+    # available via config as matrix-free fallbacks.
     linear: LinearConfig = field(default_factory=lambda: LinearConfig(
-        kind="bicgstab", tol=1.0e-6, maxiter=4000,
-        precond="block_jacobi"))
+        kind="slab_direct", tol=1.0e-6, max_refine=40))
 
     @property
     def species(self) -> Tuple[str, ...]:
