@@ -400,17 +400,40 @@ class FemSpace:
         return (rows.reshape(I, -1).astype(np.int32),
                 cols.reshape(I, -1).astype(np.int32))
 
-    def jacobian(self, form: WeakForm, u, u_prev, theta, aux=None) -> BlockELL:
+    def jacobian(self, form: WeakForm, u, u_prev, theta, aux=None,
+                 dtype=None) -> BlockELL:
         """Assembled Jacobian dF/du as BlockELL (aux never differentiated).
 
-        The element Jacobians are flattened to (C, nv*nv*f*f) before the
-        scatter: large temporaries must keep a single long trailing axis on
-        TPU (trailing (f, f) dims tile-pad 25x and exhaust HBM)."""
+        ``dtype=jnp.float32`` evaluates the element Jacobians in f32
+        (inexact Newton: a ~1e-7-relative Jacobian perturbation does not
+        change Newton's convergence at the reference's 1e-4 tolerances;
+        the residual stays f64).  The element Jacobians are flattened to
+        (C, nv*nv*f*f) before the reduction: large temporaries must keep
+        a single long trailing axis on TPU (trailing (f, f) dims tile-pad
+        25x and exhaust HBM)."""
         f = self.n_fields
         N = self.num_vertices
         K = self.adj.shape[1]
         nv = self.cells.shape[1]
         C = self.cells.shape[0]
+
+        def cast(a):
+            a = jnp.asarray(a)
+            return a.astype(dtype) if dtype is not None else a
+
+        if dtype is not None:
+            # cast traced theta scalars too, and trace the element kernels
+            # under disable_x64 so the forms' numpy-f64 closure constants
+            # canonicalize to f32 instead of promoting the math back to f64
+            theta = jax.tree.map(
+                lambda a: (jnp.asarray(a).astype(dtype)
+                           if jnp.issubdtype(jnp.asarray(a).dtype,
+                                             jnp.floating)
+                           else a), theta)
+            trace_ctx = lambda: jax.enable_x64(False)
+        else:
+            import contextlib
+            trace_ctx = contextlib.nullcontext
 
         if form.n_aux:
             def local_jac(ue, upe, ax, g, v, x):
@@ -419,11 +442,12 @@ class FemSpace:
                 J = jax.jacfwd(fn)(ue)             # (nv, f, nv, f)
                 return jnp.transpose(J, (0, 2, 1, 3)).reshape(-1)
 
-            J_e = self._chunked_map(
-                local_jac,
-                [u[self.cells], u_prev[self.cells], aux[self.cells],
-                 jnp.asarray(self.gradN), jnp.asarray(self.vols),
-                 jnp.asarray(self.xq)], C)
+            with trace_ctx():
+                J_e = self._chunked_map(
+                    local_jac,
+                    [cast(u[self.cells]), cast(u_prev[self.cells]),
+                     cast(aux[self.cells]), cast(self.gradN),
+                     cast(self.vols), cast(self.xq)], C)
         else:
             def local_jac(ue, upe, g, v, x):
                 fn = lambda uu: self._local_volume_residual(
@@ -431,18 +455,22 @@ class FemSpace:
                 J = jax.jacfwd(fn)(ue)             # (nv, f, nv, f)
                 return jnp.transpose(J, (0, 2, 1, 3)).reshape(-1)
 
-            J_e = self._chunked_map(
-                local_jac,
-                [u[self.cells], u_prev[self.cells],
-                 jnp.asarray(self.gradN), jnp.asarray(self.vols),
-                 jnp.asarray(self.xq)], C)
+            with trace_ctx():
+                J_e = self._chunked_map(
+                    local_jac,
+                    [cast(u[self.cells]), cast(u_prev[self.cells]),
+                     cast(self.gradN), cast(self.vols), cast(self.xq)], C)
 
         # scatter-free block reduction: J_e rows are laid out (a, b, r, c)
         # per element, matching the (c, a, b) destination ordering of
         # jac_tables; reduce to (N*K) f x f blocks, then relayout to the
-        # BlockELL flat form.
+        # BlockELL flat form.  The reduction always runs in the solve
+        # dtype: its cumsum prefixes grow ~1e5x the entries, and in f32
+        # the prefix differences lose ~5 digits (measured 2.6e-5 relative
+        # error) — only the element kernels gain from f32.
         blocks = _segment_reduce(
-            J_e.reshape(C * nv * nv, f * f), *self.jac_tables)
+            J_e.astype(u.dtype).reshape(C * nv * nv, f * f),
+            *self.jac_tables)
         flat = (blocks.reshape(N, K, f, f)
                 .swapaxes(1, 2).reshape(N, f * K * f))
 
@@ -457,7 +485,11 @@ class FemSpace:
                 J = jax.jacfwd(f_res)(uf)
                 return jnp.transpose(J, (0, 2, 1, 3)).reshape(-1)
 
-            Jf = jax.vmap(local_fjac)(u[tab["nodes"]], tab["meas"], tab["xq"])
+            # facet Jacobians stay f64 regardless of ``dtype``: they are
+            # tiny (boundary facets only) and the boundary-flux closures
+            # mix f64 constants that break mixed-precision tracing
+            Jf = jax.vmap(local_fjac)(u[tab["nodes"]], tab["meas"],
+                                      tab["xq"])
             frows, fcols = self._scatter_tables(tab["nodes"], tab["slot"])
             flat = flat.at[frows, fcols].add(Jf)
 

@@ -104,7 +104,7 @@ class Pore3DConfig:
     # GMRES with block-Jacobi or multicolor-SSOR preconditioning remain
     # available via config as matrix-free fallbacks.
     linear: LinearConfig = field(default_factory=lambda: LinearConfig(
-        kind="slab_direct", tol=1.0e-6, max_refine=40))
+        kind="slab_direct", tol=1.0e-6, max_refine=40, jac_dtype="f32"))
 
     @property
     def species(self) -> Tuple[str, ...]:

@@ -67,8 +67,13 @@ class LinearConfig:
     ssor_sweeps: int = 1
     # slab_direct: iterative-refinement budget (f64 polish of the f32
     # factorization) and an optional cap on slab count (None = bandwidth)
-    max_refine: int = 6
+    max_refine: int = 40
     max_slabs: Optional[int] = None
+    # Jacobian assembly precision: 'f32' evaluates element Jacobians in
+    # float32 (inexact Newton; residuals and convergence checks stay f64).
+    # A ~1e-7-relative Jacobian error is invisible at the reference's
+    # 1e-4 Newton tolerances and roughly halves assembly cost on TPU.
+    jac_dtype: str = "f64"
     # inner-solve precision for the Krylov kinds: "f32" runs the iteration
     # in native float32 (the TPU-fast path; f64 is emulated ~10x slower and
     # gather-bound) and returns the update in f64.  Inexact-Newton theory
@@ -98,8 +103,17 @@ def make_linear_solver(space: FemSpace, form: WeakForm, cfg: LinearConfig):
         aux = theta.get("_aux") if isinstance(theta, dict) else None
 
         def lin(u, r):
-            ell = bc.apply_to_jacobian(
-                space.jacobian(form, u, u_prev, theta, aux=aux))
+            jdt = jnp.float32 if cfg.jac_dtype == "f32" else None
+            ell_raw = space.jacobian(form, u, u_prev, theta, aux=aux,
+                                     dtype=jdt)
+            if jdt is not None:
+                # promote storage back to the solve dtype: values carry f32
+                # accuracy (inexact Newton) but downstream iterations stay
+                # numerically stable in f64
+                from gmpnp_tpu.fem.assembly import BlockELL
+                ell_raw = BlockELL(ell_raw.adj, ell_raw.flat.astype(r.dtype),
+                                   ell_raw.diag_slot)
+            ell = bc.apply_to_jacobian(ell_raw)
             zero = jnp.array(0, jnp.int32)
             if cfg.kind == "tridiag_cr":
                 lo, di, up = block_tridiag_from_ell(ell)

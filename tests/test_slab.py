@@ -160,3 +160,39 @@ def test_newton_step_slab_vs_bicgstab():
     assert int(st_d.newton_iters) <= int(st_k.newton_iters)
     np.testing.assert_allclose(np.asarray(u_d), np.asarray(u_k),
                                rtol=2e-6, atol=2e-8)
+
+
+def test_newton_step_slab_vs_dense_1e8():
+    """BASELINE.md parity bar (VERDICT item 8b): one implicit 3D GMPNP
+    step solved with the production slab_direct path agrees with the
+    dense-f64-direct oracle to <= 1e-8 relative L2 on every field, at
+    production Newton tolerances (ref 3D/MPNP_CO2ER_pore.py:789-799)."""
+    from gmpnp_tpu.models import pore_3d
+    from gmpnp_tpu.solve.timeloop import LinearConfig, make_implicit_step
+
+    cfg = pore_3d.Pore3DConfig(physics="GMPNP", L=100e-9, R=10e-9,
+                               mesh_resolution=(2, 8))
+    prog = pore_3d.build(cfg)
+    nf, ns = cfg.n_fields, len(cfg.species)
+    theta = {"dt": jnp.asarray(prog.dt_scaled),
+             "co2_s1": jnp.asarray(prog.eq_conc["CO2"]
+                                   / prog.bulk_conc["CO2"])}
+    u0 = jnp.ones((prog.space.num_vertices, nf)).at[:, ns].set(0.0)
+
+    step_dense = make_implicit_step(
+        prog.space, prog.form, cfg.newton, LinearConfig(kind="dense"),
+        bc_of_theta=prog._bc_of_theta)
+    step_slab = make_implicit_step(
+        prog.space, prog.form, cfg.newton,
+        LinearConfig(kind="slab_direct", tol=1e-12, max_refine=60),
+        bc_of_theta=prog._bc_of_theta)
+
+    u_ref, st_ref = jax.jit(step_dense)(u0, theta)
+    u_s, st_s = jax.jit(step_slab)(u0, theta)
+    assert bool(st_ref.converged) and bool(st_s.converged)
+
+    a, b = np.asarray(u_s), np.asarray(u_ref)
+    for f in range(nf):
+        rel = (np.linalg.norm(a[:, f] - b[:, f])
+               / max(np.linalg.norm(b[:, f]), 1e-30))
+        assert rel <= 1e-8, (f, rel)
