@@ -17,10 +17,12 @@ from jax.experimental import pallas as pl
 
 
 def _contract_kernel(blocks_ref, xg_ref, y_ref):
-    # blocks: (T, K, f, f), xg: (T, K, f) -> y: (T, f)
-    y_ref[:] = jnp.einsum(
-        "nkfg,nkg->nf", blocks_ref[:], xg_ref[:],
-        preferred_element_type=y_ref.dtype)
+    # blocks: (T, K, f, f), xg: (T, K, f) -> y: (T, f).  The contraction is
+    # written as broadcast-multiply + sums (not einsum/dot): Mosaic's
+    # tpu.matmul rejects tiny batched contractions ("lhs contracting dims
+    # must be of size 1"), and for f <= 9 this is pure VPU work anyway.
+    prod = blocks_ref[:] * xg_ref[:][:, :, None, :]   # (T, K, f, f)
+    y_ref[:] = jnp.sum(prod, axis=(1, 3)).astype(y_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))

@@ -20,17 +20,22 @@ def block_inv(A: jnp.ndarray) -> jnp.ndarray:
     f = A.shape[-1]
     eye = jnp.broadcast_to(jnp.eye(f, dtype=A.dtype), A.shape)
     aug = jnp.concatenate([A, eye], axis=-1)          # (..., f, 2f)
-    rows = jnp.arange(f)
+    rows = jnp.arange(f, dtype=jnp.int32)
 
     for k in range(f):
         # partial pivot: largest |entry| in column k among rows >= k
         col = jnp.abs(aug[..., :, k])
         col = jnp.where(rows >= k, col, -jnp.inf)
-        p = jnp.argmax(col, axis=-1)                  # (batch,)
-        # swap rows k <-> p (batched permutation gather)
+        p = jnp.argmax(col, axis=-1).astype(jnp.int32)   # (batch,)
+        # swap rows k <-> p.  Expressed as a one-hot permutation
+        # multiply-reduce rather than take_along_axis: gather-free, so it
+        # lowers both through XLA:TPU and inside Pallas/Mosaic kernels
+        # (which reject non-int32 / dynamic-gather indexing).
         idx = jnp.where(rows == k, p[..., None],
                         jnp.where(rows == p[..., None], k, rows))
-        aug = jnp.take_along_axis(aug, idx[..., :, None], axis=-2)
+        onehot = (idx[..., :, None] == rows).astype(aug.dtype)
+        aug = jnp.sum(onehot[..., :, :, None] * aug[..., None, :, :],
+                      axis=-2)
         # normalize pivot row, eliminate everywhere else
         pivval = aug[..., k, k][..., None, None]
         rowk = aug[..., k:k + 1, :] / pivval
