@@ -103,8 +103,14 @@ class Pore3DConfig:
     # ~1e3 (9,489 Krylov iterations on the first bench step).  BiCGStab/
     # GMRES with block-Jacobi or multicolor-SSOR preconditioning remain
     # available via config as matrix-free fallbacks.
+    #
+    # jac_dtype stays f64: assembling the element Jacobians in f32 saves
+    # ~116 ms/iteration at N=3679 but the direction error of the perturbed
+    # Jacobian scales with cond(J)*eps_f32 ~ 1e7 * 1e-7 = O(1), and the
+    # first transient step measured 31 Newton iterations (f32) vs 5 (f64)
+    # on hardware (probes/probe_r2_f.py) — a 3x net loss.
     linear: LinearConfig = field(default_factory=lambda: LinearConfig(
-        kind="slab_direct", tol=1.0e-6, max_refine=40, jac_dtype="f32"))
+        kind="slab_direct", tol=1.0e-6, max_refine=40))
 
     @property
     def species(self) -> Tuple[str, ...]:

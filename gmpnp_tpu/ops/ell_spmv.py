@@ -18,11 +18,18 @@ from jax.experimental import pallas as pl
 
 def _contract_kernel(blocks_ref, xg_ref, y_ref):
     # blocks: (T, K, f, f), xg: (T, K, f) -> y: (T, f).  The contraction is
-    # written as broadcast-multiply + sums (not einsum/dot): Mosaic's
-    # tpu.matmul rejects tiny batched contractions ("lhs contracting dims
-    # must be of size 1"), and for f <= 9 this is pure VPU work anyway.
-    prod = blocks_ref[:] * xg_ref[:][:, :, None, :]   # (T, K, f, f)
-    y_ref[:] = jnp.sum(prod, axis=(1, 3)).astype(y_ref.dtype)
+    # written as a static K-loop of 3D broadcast-multiply + last-axis sums:
+    # Mosaic's tpu.matmul rejects tiny batched contractions ("lhs
+    # contracting dims must be of size 1") and its vector layout passes
+    # only handle <= 3 dimensions robustly; for f <= 9 this is pure VPU
+    # work anyway.
+    K = blocks_ref.shape[1]
+    acc = jnp.zeros(y_ref.shape, blocks_ref.dtype)
+    for k in range(K):
+        bk = blocks_ref[:, k, :, :]                  # (T, f, f)
+        xk = xg_ref[:, k, :]                         # (T, f)
+        acc = acc + jnp.sum(bk * xk[:, None, :], axis=-1)
+    y_ref[:] = acc.astype(y_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))

@@ -26,6 +26,15 @@ from gmpnp_tpu.models import edl_1d, pore_3d
 from gmpnp_tpu.solve.timeloop import make_implicit_step
 
 
+def _sweep_newton(newton):
+    """Sweep variant of the Newton config: a vmapped ``lax.cond`` executes
+    its body for every lane at every trip (it lowers to a select), so the
+    'fori' loop style pays max_iter full Newton iterations per step in a
+    batched sweep.  'while' keeps the batched trip count at the max over
+    lanes of the actual iteration counts."""
+    return dataclasses.replace(newton, loop="while")
+
+
 def run_edl_voltage_sweep(
     cfg: "edl_1d.EDL1DConfig",
     voltages: Sequence[float],
@@ -43,7 +52,7 @@ def run_edl_voltage_sweep(
         prog.mesh.facets[prog.mesh.facet_markers == 1].reshape(-1))
 
     step = make_implicit_step(
-        prog.space, prog.form, cfg.newton, cfg.linear,
+        prog.space, prog.form, _sweep_newton(cfg.newton), cfg.linear,
         bc_of_theta=lambda theta: prog.bc.set_value(
             left, P, theta["voltage"]))
 
@@ -94,7 +103,7 @@ def run_pore_voltage_sweep(
         return bc.set_value(s2, ns, theta["voltage"])
 
     step = make_implicit_step(
-        prog.space, prog.form, cfg.newton, cfg.linear,
+        prog.space, prog.form, _sweep_newton(cfg.newton), cfg.linear,
         bc_of_theta=bc_of_theta)
 
     def single(voltage):

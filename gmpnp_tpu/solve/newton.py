@@ -46,6 +46,7 @@ def newton_solve(
     relaxation: float = 1.0,
     loop: str = "fori",
     backtracking: int = 0,
+    carry_residual: bool = True,
 ) -> NewtonResult:
     """Solve F(u) = 0.
 
@@ -68,6 +69,15 @@ def newton_solve(
         ||r(u - lambda du)|| <= (1 - 1e-4 lambda) ||r(u)||; if no lambda
         satisfies the Armijo test, the smallest trial step is taken anyway
         (bounded-effort globalization, SURVEY.md §5 failure-recovery item).
+    carry_residual : carry the residual *vector* through the loop so each
+        Newton iteration assembles it exactly once (the post-update residual
+        doubles as the next iteration's solve RHS).  At N=3679 the f64
+        residual assembly measures ~107 ms on TPU (probe_r2_f), so the
+        round-1 recompute-twice scheme cost ~15% of every iteration.  Off
+        (or with backtracking, which owns its own residual trials) the body
+        recomputes — the round-1 behavior kept as a fallback for the Mosaic
+        fault once seen when threading a second (N, f) array through
+        Krylov-heavy (SSOR/BiCGStab) loop bodies.
     """
     r0 = residual_fn(u0)
     n0 = _l2(r0)
@@ -75,15 +85,14 @@ def newton_solve(
     def converged(rn, r0n):
         return (rn < atol) | (rn < rtol * r0n)
 
-    # The residual is recomputed inside the body rather than carried: the
-    # carry stays small (u + scalars), which both reduces loop state and —
-    # empirically, on TPU with emulated f64 — avoids a Mosaic kernel fault
-    # observed when a second (N, f) array is threaded through Krylov-heavy
-    # loop bodies.  Cost: one extra assembly per Newton iteration, trivial
-    # next to the inner linear solve.
+    carry_r = carry_residual and backtracking == 0
+
     def step(state):
-        u, rn, it, lin = state
-        r = residual_fn(u)
+        if carry_r:
+            u, r, rn, it, lin = state
+        else:
+            u, rn, it, lin = state
+            r = residual_fn(u)
         du, klin = linear_solve_fn(u, r)
         if backtracking > 0:
             def try_lam(carry, lam):
@@ -102,25 +111,37 @@ def newton_solve(
             (u, rn_new, _), _ = jax.lax.scan(
                 try_lam, (u, jnp.asarray(jnp.inf, rn.dtype), jnp.asarray(False)),
                 jnp.asarray(lams, u.dtype))
-        else:
-            u = u - relaxation * du
-            rn_new = _l2(residual_fn(u))
+            return (u, rn_new, it + 1, lin + klin)
+        u = u - relaxation * du
+        r_new = residual_fn(u)
+        rn_new = _l2(r_new)
+        if carry_r:
+            return (u, r_new, rn_new, it + 1, lin + klin)
         return (u, rn_new, it + 1, lin + klin)
 
-    init = (u0, n0, jnp.array(0, jnp.int32), jnp.array(0, jnp.int32))
+    zero = jnp.array(0, jnp.int32)
+    if carry_r:
+        init = (u0, r0, n0, zero, zero)
+        rn_of = lambda s: s[2]
+    else:
+        init = (u0, n0, zero, zero)
+        rn_of = lambda s: s[1]
 
     if loop == "while":
         def cond(state):
-            u, rn, it, lin = state
-            return (~converged(rn, n0)) & (it < max_iter)
+            return (~converged(rn_of(state), n0)) & (state[-2] < max_iter)
 
-        u, rn, it, lin = jax.lax.while_loop(cond, step, init)
+        out = jax.lax.while_loop(cond, step, init)
     else:
         def body(i, state):
-            rn = state[1]
-            return jax.lax.cond(converged(rn, n0), lambda s: s, step, state)
+            return jax.lax.cond(converged(rn_of(state), n0),
+                                lambda s: s, step, state)
 
-        u, rn, it, lin = jax.lax.fori_loop(0, max_iter, body, init)
+        out = jax.lax.fori_loop(0, max_iter, body, init)
+    if carry_r:
+        u, _, rn, it, lin = out
+    else:
+        u, rn, it, lin = out
 
     return NewtonResult(
         u=u,

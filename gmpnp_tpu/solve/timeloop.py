@@ -47,6 +47,15 @@ class NewtonConfig:
     # Armijo backtracking halvings per iteration (0 = plain damped Newton,
     # the dolfin-parity default; see solve.newton.newton_solve)
     backtracking: int = 0
+    # loop style: 'fori' (bounded fori_loop + lax.cond skip — the TPU-safe
+    # default) or 'while'.  Under jax.vmap a lax.cond body is executed for
+    # EVERY lane at EVERY trip (cond lowers to select), so a vmapped sweep
+    # pays max_iter full Newton iterations per step; 'while' keeps the
+    # batched trip count at max-over-lanes of the actual iterations.
+    loop: str = "fori"
+    # assemble the residual once per iteration by carrying it through the
+    # loop (see solve.newton.newton_solve)
+    carry_residual: bool = True
 
 
 @dataclass(frozen=True)
@@ -187,7 +196,9 @@ def make_implicit_step(
             rtol=newton_cfg.rtol, atol=newton_cfg.atol,
             max_iter=newton_cfg.max_iter,
             relaxation=newton_cfg.relaxation,
-            backtracking=newton_cfg.backtracking)
+            loop=newton_cfg.loop,
+            backtracking=newton_cfg.backtracking,
+            carry_residual=newton_cfg.carry_residual)
         stats = StepStats(
             newton_iters=res.iterations,
             converged=res.converged,
