@@ -336,14 +336,17 @@ def gmres(
             def do(carry):
                 V, H, cs, sn, g, done, k = carry
                 w = mv(pc(V[j]))
-                # modified Gram-Schmidt
-                def mgs(i, wh):
-                    w, h = wh
-                    hij = jnp.where(i <= j, jnp.dot(V[i], w), 0.0)
-                    w = w - hij * V[i]
-                    return (w, h.at[i].set(hij))
-                w, hcol = jax.lax.fori_loop(
-                    0, m + 1, mgs, (w, jnp.zeros(m + 1, dtype)))
+                # classical Gram-Schmidt with one re-orthogonalization
+                # (CGS2): two (m+1, n) matmuls instead of m+1 sequential
+                # masked dot/axpy pairs (the round-1 MGS fori_loop cost
+                # ~10 ms/iteration at n=33k on TPU — loop-step dispatch
+                # dominated).  Rows of V beyond j are zero, so no masking
+                # is needed, and CGS2 is as orthogonal as MGS in practice.
+                h1 = V @ w
+                w = w - h1 @ V
+                h2 = V @ w
+                w = w - h2 @ V
+                hcol = h1 + h2
                 hlast = _norm(w)
                 hcol = hcol.at[j + 1].set(hlast)
                 V = V.at[j + 1].set(w / jnp.maximum(hlast, _TINY))

@@ -49,7 +49,7 @@ def block_inv(A: jnp.ndarray) -> jnp.ndarray:
 
 def _set_row(aug, k, row):
     f = aug.shape[-2]
-    mask = (jnp.arange(f) == k)[:, None]
+    mask = (jnp.arange(f, dtype=jnp.int32) == k)[:, None]
     return jnp.where(mask, row[..., None, :], aug)
 
 

@@ -78,6 +78,16 @@ class LinearConfig:
     # factorization) and an optional cap on slab count (None = bandwidth)
     max_refine: int = 40
     max_slabs: Optional[int] = None
+    # Jacobian refresh policy for slab_direct: 'iter' re-assembles and
+    # re-factors at every Newton iterate (exact Newton, the DOLFIN-parity
+    # default); 'step' factors ONCE per time step at the start iterate and
+    # reuses the factorization for every Newton iteration of that step
+    # (modified Newton).  The per-iteration assemble+equilibrate+relayout+
+    # factor pipeline measured ~500 ms of a ~1000 ms iteration at N=3679
+    # (probe_r2_g); modified Newton trades a few extra cheap iterations
+    # for skipping it.  Convergence is still certified on the true f64
+    # residual, so both policies converge to the same solution.
+    refresh: str = "iter"
     # Jacobian assembly precision: 'f32' evaluates element Jacobians in
     # float32 (inexact Newton; residuals and convergence checks stay f64).
     # A ~1e-7-relative Jacobian error is invisible at the reference's
@@ -110,6 +120,32 @@ def make_linear_solver(space: FemSpace, form: WeakForm, cfg: LinearConfig):
 
     def solver(bc: DirichletBC, u_prev, theta):
         aux = theta.get("_aux") if isinstance(theta, dict) else None
+
+        def assemble(u, out_dtype):
+            jdt = jnp.float32 if cfg.jac_dtype == "f32" else None
+            ell_raw = space.jacobian(form, u, u_prev, theta, aux=aux,
+                                     dtype=jdt)
+            if jdt is not None:
+                from gmpnp_tpu.fem.assembly import BlockELL
+                ell_raw = BlockELL(ell_raw.adj,
+                                   ell_raw.flat.astype(out_dtype),
+                                   ell_raw.diag_slot)
+            return bc.apply_to_jacobian(ell_raw)
+
+        if cfg.kind == "slab_direct" and cfg.refresh == "step":
+            # modified Newton: factor once at the step's start iterate
+            # (identical to the first exact-Newton iterate, since Newton
+            # starts at bc.project(u_prev)), reuse for all iterations
+            from gmpnp_tpu.solve.slab import slab_apply, slab_prepare
+            u0 = bc.project(u_prev)
+            prep = slab_prepare(assemble(u0, u0.dtype), slab_plan)
+
+            def lin_frozen(u, r):
+                res = slab_apply(prep, r, slab_plan, tol=cfg.tol,
+                                 max_refine=cfg.max_refine)
+                return res.x, res.iters
+
+            return lin_frozen
 
         def lin(u, r):
             jdt = jnp.float32 if cfg.jac_dtype == "f32" else None

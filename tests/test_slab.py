@@ -196,3 +196,51 @@ def test_newton_step_slab_vs_dense_1e8():
         rel = (np.linalg.norm(a[:, f] - b[:, f])
                / max(np.linalg.norm(b[:, f]), 1e-30))
         assert rel <= 1e-8, (f, rel)
+
+
+def test_newton_step_frozen_factorization_refresh_step():
+    """LinearConfig.refresh='step' (modified Newton: one factorization per
+    time step, solve.slab.SlabPrepared) converges to the same solution as
+    exact Newton — convergence is certified on the true f64 residual
+    either way — within a few extra (cheap) iterations."""
+    from gmpnp_tpu.models import pore_3d
+    from gmpnp_tpu.solve.timeloop import LinearConfig, make_implicit_step
+
+    cfg = pore_3d.Pore3DConfig(physics="GMPNP", L=100e-9, R=10e-9,
+                               mesh_resolution=(2, 8))
+    prog = pore_3d.build(cfg)
+    nf, ns = cfg.n_fields, len(cfg.species)
+    theta = {"dt": jnp.asarray(prog.dt_scaled),
+             "co2_s1": jnp.asarray(prog.eq_conc["CO2"]
+                                   / prog.bulk_conc["CO2"])}
+    u0 = jnp.ones((prog.space.num_vertices, nf)).at[:, ns].set(0.0)
+
+    # tight Newton tolerance so both solutions approach the exact one and
+    # the comparison is not dominated by the 1e-4 convergence envelope
+    import dataclasses
+    newton = dataclasses.replace(cfg.newton, rtol=1e-10, atol=1e-10,
+                                 max_iter=100)
+    step_exact = make_implicit_step(
+        prog.space, prog.form, newton,
+        LinearConfig(kind="slab_direct", tol=1e-10),
+        bc_of_theta=prog._bc_of_theta)
+    step_frozen = make_implicit_step(
+        prog.space, prog.form, newton,
+        LinearConfig(kind="slab_direct", tol=1e-10, refresh="step"),
+        bc_of_theta=prog._bc_of_theta)
+
+    # two consecutive time steps (the second starts from a physical state)
+    u1_e, st1_e = jax.jit(step_exact)(u0, theta)
+    u2_e, st2_e = jax.jit(step_exact)(u1_e, theta)
+    u1_f, st1_f = jax.jit(step_frozen)(u0, theta)
+    u2_f, st2_f = jax.jit(step_frozen)(u1_f, theta)
+
+    assert bool(st1_e.converged) and bool(st2_e.converged)
+    assert bool(st1_f.converged) and bool(st2_f.converged)
+    # same nonlinear solution (both residuals driven to 1e-10)
+    np.testing.assert_allclose(np.asarray(u1_f), np.asarray(u1_e),
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(u2_f), np.asarray(u2_e),
+                               rtol=1e-6, atol=1e-9)
+    # bounded extra iteration cost (modified Newton converges linearly)
+    assert int(st1_f.newton_iters) <= 8 * max(int(st1_e.newton_iters), 1)
