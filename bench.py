@@ -68,7 +68,7 @@ def _build_pore():
         return u, iters
 
     u0 = jnp.ones((prog.space.num_vertices, nf)).at[:, ns].set(0.0)
-    key = f"pore3d_gmpnp/L50R5/N{prog.space.num_vertices}/steps{N_STEPS}/slab/v4"
+    key = f"pore3d_gmpnp/L50R5/N{prog.space.num_vertices}/steps{N_STEPS}/slab/v5"
     return run, u0, key, prog.space.num_vertices
 
 
@@ -102,30 +102,84 @@ def _build_edl():
     u0 = jnp.concatenate(
         [jnp.ones((prog.space.num_vertices, 6)),
          jnp.zeros((prog.space.num_vertices, 1))], axis=1)
-    key = f"edl1d_gmpnp/1um/N{prog.space.num_vertices}/steps{n}/cr/v4"
+    key = f"edl1d_gmpnp/1um/N{prog.space.num_vertices}/steps{n}/cr/v5"
     return run, u0, key, n
 
 
-def _timed_run(run, u0, device, reps=REPS):
+def _build_pore_sweep(lanes=4):
+    """BASELINE config 5 is explicitly the pore WITH a voltage sweep
+    (the reference's production pattern: one cluster job per flag value,
+    README.md:37-39).  A vmapped 8-step transient over ``lanes`` wall
+    voltages; while-loop Newton (a vmapped lax.cond pays max_iter full
+    bodies per trip, probe_r2_g)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from gmpnp_tpu.models import pore_3d
+    from gmpnp_tpu.solve.timeloop import make_implicit_step
+
+    cfg = pore_3d.Pore3DConfig(physics="GMPNP", L=50e-9, R=5e-9)
+    prog = pore_3d.build(cfg)
+    nf, ns = cfg.n_fields, len(cfg.species)
+    s2 = np.unique(
+        prog.mesh.facets[prog.mesh.facet_markers == pore_3d.S2].reshape(-1))
+
+    def bc_of_theta(theta):
+        bc = prog.bc.set_value(prog.s1_verts, prog.idx["CO2"],
+                               theta["co2_s1"])
+        return bc.set_value(s2, ns, theta["voltage"])
+
+    newton = dataclasses.replace(cfg.newton, loop="while")
+    step = make_implicit_step(prog.space, prog.form, newton, cfg.linear,
+                              bc_of_theta=bc_of_theta)
+
+    def run(u0, voltages):
+        def single(u0_l, voltage):
+            def body(carry, i):
+                u, extra = carry
+                th = prog._theta_of_carry((u, extra), i)
+                th["voltage"] = voltage
+                u_new, st = step(u, th)
+                return (u_new, extra), st.newton_iters
+
+            (u, _), iters = jax.lax.scan(
+                body, (u0_l, jnp.asarray(0.0)), jnp.arange(N_STEPS))
+            return u, iters
+
+        return jax.vmap(single)(u0, voltages)
+
+    u0 = jnp.ones((prog.space.num_vertices, nf)).at[:, ns].set(0.0)
+    u0v = jnp.stack([u0] * lanes)
+    volts = jnp.asarray(np.linspace(-1.0, -2.5, lanes))
+    key = (f"pore3d_sweep/L50R5/N{prog.space.num_vertices}"
+           f"/steps{N_STEPS}x{lanes}/slab/v5")
+    return run, (u0v, volts), key, prog.space.num_vertices
+
+
+def _timed_run(run, args, device, reps=REPS):
     """AOT compile on device; warm-up; median of reps (exec + fetch)."""
     import jax
 
-    u0d = jax.device_put(u0, device)
-    compiled = jax.jit(run).lower(u0d).compile()
-    out, iters = compiled(u0d)
+    if not isinstance(args, tuple):
+        args = (args,)
+    argsd = tuple(jax.device_put(a, device) for a in args)
+    compiled = jax.jit(run).lower(*argsd).compile()
+    out, iters = compiled(*argsd)
     chk = float(abs(out).sum())
     assert np.isfinite(chk), "non-finite bench result"
     n_newton = int(np.asarray(iters).sum())
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        out, iters = compiled(u0d)
+        out, iters = compiled(*argsd)
         chk = float(abs(out).sum())
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts)), float(np.std(ts)), n_newton
 
 
-def _cpu_seconds(run, u0, key):
+def _cpu_seconds(run, args, key):
     """Same compiled program on the host CPU backend (cached by key)."""
     import jax
 
@@ -138,7 +192,7 @@ def _cpu_seconds(run, u0, key):
     if cache.get(key) is not None:
         return float(cache[key])
     cpu = jax.devices("cpu")[0]
-    t, _, _ = _timed_run(run, u0, cpu, reps=1)
+    t, _, _ = _timed_run(run, args, cpu, reps=1)
     cache[key] = t
     with open(_CPU_CACHE, "w") as f:
         json.dump(cache, f, indent=1)
@@ -177,6 +231,28 @@ def main():
         extra["pore3d"]["cpu_ms_per_step"] = round(t_cpu / N_STEPS * 1e3, 2)
     except Exception as e:
         extra["pore3d"]["cpu_error"] = f"{type(e).__name__}: {e}"
+
+    # ---- config 5 (sweep form): 4-lane voltage sweep of the pore ----------
+    try:
+        lanes = 4
+        run_s, args_s, key_s, _ = _build_pore_sweep(lanes)
+        t_s, t_s_std, n_newton_s = _timed_run(run_s, args_s, accel)
+        lane_steps = N_STEPS * lanes
+        extra["pore3d_sweep"] = {
+            "lanes": lanes,
+            "ms_per_lane_step": round(t_s / lane_steps * 1e3, 2),
+            "newton_iters": n_newton_s,
+            "spread_ms": round(t_s_std / lane_steps * 1e3, 2),
+        }
+        try:
+            t_cpu_s = _cpu_seconds(run_s, args_s, key_s)
+            extra["pore3d_sweep"]["vs_baseline"] = round(t_cpu_s / t_s, 3)
+            extra["pore3d_sweep"]["cpu_ms_per_lane_step"] = round(
+                t_cpu_s / lane_steps * 1e3, 2)
+        except Exception as e:
+            extra["pore3d_sweep"]["cpu_error"] = f"{type(e).__name__}: {e}"
+    except Exception as e:
+        extra["pore3d_sweep"] = {"error": f"{type(e).__name__}: {e}"}
 
     # ---- config 2: 1D GMPNP EDL flagship ----------------------------------
     try:

@@ -171,6 +171,46 @@ class SlabFactors(NamedTuple):
     Al: jnp.ndarray     # (S, m, m) original lower band
 
 
+def slab_factor_fused(ell: BlockELL, plan: SlabPlan,
+                      dtype=jnp.float32) -> SlabFactors:
+    """Band relayout fused into the block-Thomas elimination scan.
+
+    Building the full (S, m_v, 3m_v, f, f) band tensor before the factor
+    scan materializes an intermediate whose TPU tile padding expands it
+    ~6x — a 4-lane vmapped sweep at N=3679 hit 13 GB for it and OOMed HBM
+    at compile (BENCH run, 2026-08-17).  Here each scan step gathers only
+    its own slab's blocks (m_v, 3m_v, f, f), so peak temp memory is
+    ~30 MB per lane regardless of S."""
+    N, K, f, _ = ell.shape4
+    m, m_v, S = plan.m, plan.m_v, plan.S
+    blk = ell.blocks4().astype(dtype).reshape(N * K, f, f)
+    blk = jnp.concatenate([blk, jnp.zeros((1, f, f), dtype)], axis=0)
+    bidx = jnp.asarray(plan.bidx)                 # (S, m_v, 3m_v) int32
+    # identity rows (diagonal band) for the padded tail of the last slab
+    eye_band = jnp.concatenate(
+        [jnp.zeros((m, m), dtype), jnp.eye(m, dtype=dtype),
+         jnp.zeros((m, m), dtype)], axis=1)       # (m, 3m)
+
+    def band_of_slab(s):
+        B4 = blk[bidx[s]]                         # (m_v, 3m_v, f, f)
+        B = B4.transpose(0, 2, 1, 3).reshape(m, 3 * m)
+        row_v = s * m_v + jnp.arange(m_v, dtype=jnp.int32)
+        is_pad = jnp.repeat(row_v >= plan.N, f)   # (m,)
+        B = jnp.where(is_pad[:, None], eye_band, B)
+        return B[:, :m], B[:, m:2 * m], B[:, 2 * m:]
+
+    def fwd(Cp_prev, s):
+        A, Bd, C = band_of_slab(s)
+        denom = Bd - A @ Cp_prev
+        Dinv = jnp.linalg.inv(denom)
+        Cp = Dinv @ C
+        return Cp, (Dinv, Cp, A)
+
+    _, (Dinvs, Cps, Als) = jax.lax.scan(
+        fwd, jnp.zeros((m, m), dtype), jnp.arange(S, dtype=jnp.int32))
+    return SlabFactors(Dinv=Dinvs, Cp=Cps, Al=Als)
+
+
 def slab_factor(lower: jnp.ndarray, diag: jnp.ndarray,
                 upper: jnp.ndarray) -> SlabFactors:
     """Block-Thomas forward elimination: one lax.scan over slabs, each step
@@ -237,9 +277,8 @@ def slab_prepare(ell: BlockELL, plan: SlabPlan) -> SlabPrepared:
     """Equilibrate in f64, relayout to bands, factor in f32."""
     Dinv0 = block_inv(ell.diag_blocks())
     ell_eq = ell.scale_rows(Dinv0)
-    lo, di, up = plan.bands(ell_eq, dtype=jnp.float32)
     return SlabPrepared(ell_eq=ell_eq, Dinv0=Dinv0,
-                        factors=slab_factor(lo, di, up))
+                        factors=slab_factor_fused(ell_eq, plan))
 
 
 def slab_apply(

@@ -244,3 +244,24 @@ def test_newton_step_frozen_factorization_refresh_step():
                                rtol=1e-6, atol=1e-9)
     # bounded extra iteration cost (modified Newton converges linearly)
     assert int(st1_f.newton_iters) <= 8 * max(int(st1_e.newton_iters), 1)
+
+
+def test_slab_factor_fused_matches_unfused():
+    """slab_factor_fused (per-slab gather inside the elimination scan —
+    the HBM-safe path) produces the same factors as bands() + slab_factor."""
+    from gmpnp_tpu.solve.slab import slab_factor, slab_factor_fused
+
+    space = _pore_space(n_fields=3)
+    ell = _random_ell(space, 3, seed=7)
+    plan = SlabPlan.build(np.asarray(space.adj),
+                          np.asarray(space.points)[:, -1], 3,
+                          np.asarray(space.diag_slot))
+    lo, di, up = plan.bands(ell, dtype=jnp.float32)
+    ref = slab_factor(lo, di, up)
+    fused = slab_factor_fused(ell, plan)
+    np.testing.assert_allclose(np.asarray(fused.Al), np.asarray(ref.Al),
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(fused.Dinv), np.asarray(ref.Dinv),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fused.Cp), np.asarray(ref.Cp),
+                               rtol=1e-5, atol=1e-6)
