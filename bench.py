@@ -111,7 +111,10 @@ def _build_pore_sweep(lanes=4):
     (the reference's production pattern: one cluster job per flag value,
     README.md:37-39).  A vmapped 8-step transient over ``lanes`` wall
     voltages; while-loop Newton (a vmapped lax.cond pays max_iter full
-    bodies per trip, probe_r2_g)."""
+    bodies per trip, probe_r2_g).  Runs at the (3,24) generated mesh
+    (N=925): vmapped execution at the shipped N=3679 mesh kernel-faults
+    the tunneled worker even at 2 lanes (probe_r2_j) — size-dependent,
+    under investigation."""
     import dataclasses
 
     import jax
@@ -120,7 +123,8 @@ def _build_pore_sweep(lanes=4):
     from gmpnp_tpu.models import pore_3d
     from gmpnp_tpu.solve.timeloop import make_implicit_step
 
-    cfg = pore_3d.Pore3DConfig(physics="GMPNP", L=50e-9, R=5e-9)
+    cfg = pore_3d.Pore3DConfig(physics="GMPNP", L=100e-9, R=10e-9,
+                               mesh_resolution=(3, 24))
     prog = pore_3d.build(cfg)
     nf, ns = cfg.n_fields, len(cfg.species)
     s2 = np.unique(
@@ -153,7 +157,7 @@ def _build_pore_sweep(lanes=4):
     u0 = jnp.ones((prog.space.num_vertices, nf)).at[:, ns].set(0.0)
     u0v = jnp.stack([u0] * lanes)
     volts = jnp.asarray(np.linspace(-1.0, -2.5, lanes))
-    key = (f"pore3d_sweep/L50R5/N{prog.space.num_vertices}"
+    key = (f"pore3d_sweep/gen324/N{prog.space.num_vertices}"
            f"/steps{N_STEPS}x{lanes}/slab/v5")
     return run, (u0v, volts), key, prog.space.num_vertices
 
@@ -199,7 +203,8 @@ def _cpu_seconds(run, args, key):
     return t
 
 
-def main():
+def _child(config: str) -> dict:
+    """Run one bench config in this process and return its record."""
     import jax
 
     try:
@@ -208,57 +213,52 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     except Exception:
         pass
-
     accel = jax.devices()[0]
-    extra = {}
 
-    # ---- config 5: 3D GMPNP pore at reference mesh size (headline) -------
-    run_p, u0_p, key_p, N = _build_pore()
-    t_tpu, t_std, n_newton = _timed_run(run_p, u0_p, accel)
-    ms_step = t_tpu / N_STEPS * 1e3
-    extra["pore3d"] = {
-        "mesh_nodes": N,
-        "ms_per_step": round(ms_step, 2),
-        "ms_per_newton_iter": round(t_tpu / max(n_newton, 1) * 1e3, 2),
-        "newton_iters": n_newton,
-        "spread_ms": round(t_std / N_STEPS * 1e3, 2),
-        "reps": REPS,
-    }
-    vs_baseline = None
-    try:
-        t_cpu = _cpu_seconds(run_p, u0_p, key_p)
-        vs_baseline = t_cpu / t_tpu
-        extra["pore3d"]["cpu_ms_per_step"] = round(t_cpu / N_STEPS * 1e3, 2)
-    except Exception as e:
-        extra["pore3d"]["cpu_error"] = f"{type(e).__name__}: {e}"
+    if config == "pore":
+        run_p, u0_p, key_p, N = _build_pore()
+        t_tpu, t_std, n_newton = _timed_run(run_p, u0_p, accel)
+        rec = {
+            "mesh_nodes": N,
+            "ms_per_step": round(t_tpu / N_STEPS * 1e3, 2),
+            "ms_per_newton_iter": round(t_tpu / max(n_newton, 1) * 1e3, 2),
+            "newton_iters": n_newton,
+            "spread_ms": round(t_std / N_STEPS * 1e3, 2),
+            "reps": REPS,
+        }
+        try:
+            t_cpu = _cpu_seconds(run_p, u0_p, key_p)
+            rec["vs_baseline"] = round(t_cpu / t_tpu, 3)
+            rec["cpu_ms_per_step"] = round(t_cpu / N_STEPS * 1e3, 2)
+        except Exception as e:
+            rec["cpu_error"] = f"{type(e).__name__}: {e}"
+        return rec
 
-    # ---- config 5 (sweep form): 4-lane voltage sweep of the pore ----------
-    try:
+    if config == "sweep":
         lanes = 4
-        run_s, args_s, key_s, _ = _build_pore_sweep(lanes)
+        run_s, args_s, key_s, N_s = _build_pore_sweep(lanes)
         t_s, t_s_std, n_newton_s = _timed_run(run_s, args_s, accel)
         lane_steps = N_STEPS * lanes
-        extra["pore3d_sweep"] = {
+        rec = {
             "lanes": lanes,
+            "mesh_nodes": N_s,
             "ms_per_lane_step": round(t_s / lane_steps * 1e3, 2),
             "newton_iters": n_newton_s,
             "spread_ms": round(t_s_std / lane_steps * 1e3, 2),
         }
         try:
             t_cpu_s = _cpu_seconds(run_s, args_s, key_s)
-            extra["pore3d_sweep"]["vs_baseline"] = round(t_cpu_s / t_s, 3)
-            extra["pore3d_sweep"]["cpu_ms_per_lane_step"] = round(
+            rec["vs_baseline"] = round(t_cpu_s / t_s, 3)
+            rec["cpu_ms_per_lane_step"] = round(
                 t_cpu_s / lane_steps * 1e3, 2)
         except Exception as e:
-            extra["pore3d_sweep"]["cpu_error"] = f"{type(e).__name__}: {e}"
-    except Exception as e:
-        extra["pore3d_sweep"] = {"error": f"{type(e).__name__}: {e}"}
+            rec["cpu_error"] = f"{type(e).__name__}: {e}"
+        return rec
 
-    # ---- config 2: 1D GMPNP EDL flagship ----------------------------------
-    try:
+    if config == "edl":
         run_e, u0_e, key_e, n_e = _build_edl()
         t_tpu_e, t_std_e, n_newton_e = _timed_run(run_e, u0_e, accel)
-        extra["edl1d"] = {
+        rec = {
             "ms_per_step": round(t_tpu_e / n_e * 1e3, 3),
             "ms_per_newton_iter": round(
                 t_tpu_e / max(n_newton_e, 1) * 1e3, 3),
@@ -267,20 +267,51 @@ def main():
         }
         try:
             t_cpu_e = _cpu_seconds(run_e, u0_e, key_e)
-            extra["edl1d"]["vs_baseline"] = round(t_cpu_e / t_tpu_e, 3)
-            extra["edl1d"]["cpu_ms_per_step"] = round(
-                t_cpu_e / n_e * 1e3, 3)
+            rec["vs_baseline"] = round(t_cpu_e / t_tpu_e, 3)
+            rec["cpu_ms_per_step"] = round(t_cpu_e / n_e * 1e3, 3)
         except Exception as e:
-            extra["edl1d"]["cpu_error"] = f"{type(e).__name__}: {e}"
-    except Exception as e:
-        extra["edl1d"] = {"error": f"{type(e).__name__}: {e}"}
+            rec["cpu_error"] = f"{type(e).__name__}: {e}"
+        return rec
 
+    raise ValueError(config)
+
+
+def main():
+    """Each config runs in its own subprocess: a TPU worker crash in one
+    (e.g. an OOM-ing sweep kernel) cannot take down the others — the
+    2026-08-17 bench run lost the edl1d number to a sweep-config fault."""
+    import subprocess
+    import sys
+
+    if len(sys.argv) > 2 and sys.argv[1] == "--config":
+        print("BENCHCFG" + json.dumps(_child(sys.argv[2])))
+        return
+
+    extra = {}
+    for name, key, timeout in (("pore", "pore3d", 3000),
+                               ("edl", "edl1d", 2000),
+                               ("sweep", "pore3d_sweep", 3000)):
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--config", name],
+                capture_output=True, text=True, timeout=timeout)
+            lines = [ln for ln in p.stdout.splitlines()
+                     if ln.startswith("BENCHCFG")]
+            if not lines:
+                tail = (p.stderr or "").strip().splitlines()[-3:]
+                raise RuntimeError(
+                    f"rc={p.returncode}: {' | '.join(tail)[-400:]}")
+            extra[key] = json.loads(lines[-1][len("BENCHCFG"):])
+        except Exception as e:
+            extra[key] = {"error": f"{type(e).__name__}: {str(e)[:400]}"}
+
+    pore = extra.get("pore3d", {})
     print(json.dumps({
         "metric": "pore3d_gmpnp_transient_step_L50R5",
-        "value": round(ms_step, 3),
+        "value": pore.get("ms_per_step"),
         "unit": "ms/step",
-        "vs_baseline": (round(vs_baseline, 3)
-                        if vs_baseline is not None else None),
+        "vs_baseline": pore.get("vs_baseline"),
         "extra": extra,
     }))
 

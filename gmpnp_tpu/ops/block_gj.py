@@ -13,6 +13,8 @@ truth); the kernel wraps it per tile.
 
 from __future__ import annotations
 
+import contextlib
+
 import functools
 
 import jax
@@ -41,12 +43,18 @@ def block_inv_pallas(A: jnp.ndarray, tile: int = 256,
         A = jnp.concatenate([A, eye], axis=0)
     Np = A.shape[0]
 
-    out = pl.pallas_call(
-        _tile_kernel,
-        out_shape=jax.ShapeDtypeStruct((Np, f, f), A.dtype),
-        grid=(Np // tile,),
-        in_specs=[pl.BlockSpec((tile, f, f), lambda i: (i, 0, 0))],
-        out_specs=pl.BlockSpec((tile, f, f), lambda i: (i, 0, 0)),
-        interpret=interpret,
-    )(A)
+    # x64 disabled during tracing: i64 grid index maps fail Mosaic
+    # legalization (see ops.ell_spmv).  f64 inputs (the CPU/interpreter
+    # use) keep their dtype — x64 disabling only affects new literals,
+    # and the kernel body is dtype-polymorphic.
+    with (contextlib.nullcontext() if interpret
+          else jax.enable_x64(False)):
+        out = pl.pallas_call(
+            _tile_kernel,
+            out_shape=jax.ShapeDtypeStruct((Np, f, f), A.dtype),
+            grid=(Np // tile,),
+            in_specs=[pl.BlockSpec((tile, f, f), lambda i: (i, 0, 0))],
+            out_specs=pl.BlockSpec((tile, f, f), lambda i: (i, 0, 0)),
+            interpret=interpret,
+        )(A)
     return out[:N]

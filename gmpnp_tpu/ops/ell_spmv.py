@@ -4,10 +4,26 @@ Computes y[n] = sum_k blocks[n, k] @ xg[n, k]  where xg = x[adj] has been
 gathered by XLA (TPU gathers are best left to XLA; the win here is fusing
 the K-slot block-matvec reduction inside one VMEM tile instead of an
 (N, K, f) intermediate).  This is the inner operation of every Krylov
-iteration on the 3D models.
+iteration on the 3D models (f32 solve_dtype path; Pallas TPU has no f64).
+
+Hardware-validated formulation (2026-08-17, tunneled v5e): the kernel
+body stays TINY and the grid does the K reduction — one (tile, f, f)
+multiply+sum per grid step, accumulated into the revisited output block.
+Two hard-won portability rules:
+  - under jax_enable_x64 (the framework default) grid index maps trace
+    to i64 and Mosaic fails legalization ("func.return ... i64") or the
+    AOT helper crashes outright — the pallas_call must be traced with
+    x64 disabled (all operands here are f32 anyway);
+  - the LAST TWO dims of every block shape must be (divisible by 8,
+    divisible by 128) or equal to the array dims — hence the K-major
+    layout with leading (1,) block dims.
+In-kernel einsum is additionally rejected by tpu.matmul ("lhs
+contracting dims must be of size 1") — hence broadcast-multiply + sum.
 """
 
 from __future__ import annotations
+
+import contextlib
 
 import functools
 
@@ -16,26 +32,25 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 
-def _contract_kernel(K, f, blocks_ref, xg_ref, y_ref):
-    # blocks: (T, K*f, f), xg: (T, K*f) -> y: (T, f).  The contraction is
-    # written as a static K-loop of <=3D broadcast-multiply + last-axis
-    # sums: Mosaic's tpu.matmul rejects tiny batched contractions ("lhs
-    # contracting dims must be of size 1"), its layout passes are only
-    # robust for <= 3 dims (4D block shapes crashed the remote compiler),
-    # and for f <= 9 this is pure VPU work anyway.
-    acc = jnp.zeros(y_ref.shape, blocks_ref.dtype)
-    for k in range(K):
-        bk = blocks_ref[:, k * f:(k + 1) * f, :]     # (T, f, f)
-        xk = xg_ref[:, k * f:(k + 1) * f]            # (T, f)
-        acc = acc + jnp.sum(bk * xk[:, None, :], axis=-1)
-    y_ref[:] = acc.astype(y_ref.dtype)
+def _acc_kernel(b_ref, x_ref, y_ref):
+    # grid step (i, k): b: (1, T, f, f) slot-k blocks; x: (1, T, f);
+    # y: (T, f) accumulated across the sequentially-revisited k axis.
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        y_ref[:] = jnp.zeros_like(y_ref)
+
+    b = b_ref[0]                    # (T, f, f)
+    x = x_ref[0]                    # (T, f)
+    y_ref[:] += jnp.sum(b * x[:, None, :], axis=-1)
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))
 def ell_block_contract_pallas(blocks: jnp.ndarray, xg: jnp.ndarray,
-                              tile: int = 128,
+                              tile: int = 512,
                               interpret: bool = False) -> jnp.ndarray:
-    """(N, K, f, f) x (N, K, f) -> (N, f) with the K reduction fused."""
+    """(N, K, f, f) x (N, K, f) -> (N, f) with the K reduction on the grid."""
     N, K, f, _ = blocks.shape
     pad = (-N) % tile
     if pad:
@@ -43,18 +58,40 @@ def ell_block_contract_pallas(blocks: jnp.ndarray, xg: jnp.ndarray,
             [blocks, jnp.zeros((pad, K, f, f), blocks.dtype)], axis=0)
         xg = jnp.concatenate([xg, jnp.zeros((pad, K, f), xg.dtype)], axis=0)
     Np = blocks.shape[0]
-    blocks3 = blocks.reshape(Np, K * f, f)
-    xg2 = xg.reshape(Np, K * f)
+    bt = blocks.transpose(1, 0, 2, 3)       # (K, Np, f, f)
+    xt = xg.transpose(1, 0, 2)              # (K, Np, f)
 
-    y = pl.pallas_call(
-        functools.partial(_contract_kernel, K, f),
-        out_shape=jax.ShapeDtypeStruct((Np, f), blocks.dtype),
-        grid=(Np // tile,),
-        in_specs=[
-            pl.BlockSpec((tile, K * f, f), lambda i: (i, 0, 0)),
-            pl.BlockSpec((tile, K * f), lambda i: (i, 0)),
-        ],
-        out_specs=pl.BlockSpec((tile, f), lambda i: (i, 0)),
-        interpret=interpret,
-    )(blocks3, xg2)
+    # Trace the kernel with x64 disabled: under jax_enable_x64 (the
+    # framework default) the grid index maps trace to i64, and Mosaic
+    # fails to legalize the i64 func.return of the index computation.
+    # All operands here are f32, so the setting changes nothing else.
+    with (contextlib.nullcontext() if interpret
+          else jax.enable_x64(False)):
+        y = pl.pallas_call(
+            _acc_kernel,
+            out_shape=jax.ShapeDtypeStruct((Np, f), blocks.dtype),
+            grid=(Np // tile, K),
+            in_specs=[
+                pl.BlockSpec((1, tile, f, f), lambda i, k: (k, i, 0, 0)),
+                pl.BlockSpec((1, tile, f), lambda i, k: (k, i, 0)),
+            ],
+            out_specs=pl.BlockSpec((tile, f), lambda i, k: (i, 0)),
+            interpret=interpret,
+        )(bt, xt)
     return y[:N]
+
+
+def ell_matvec_pallas(ell, x: jnp.ndarray,
+                      interpret: bool = None) -> jnp.ndarray:
+    """Drop-in for BlockELL.matvec with the contraction in Pallas.
+
+    The neighbor gather stays in XLA; only the (N, K, f, f) x (N, K, f)
+    reduction runs in the kernel.  f32-only on hardware (Pallas TPU has
+    no f64) — used by the solve_dtype='f32' Krylov path via
+    LinearConfig.matvec='pallas'."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    N, K, f, _ = ell.shape4
+    xg = x[ell.adj]                                   # (N, K, f)
+    blocks = ell.blocks4()
+    return ell_block_contract_pallas(blocks, xg, interpret=interpret)

@@ -23,19 +23,32 @@ def block_inv(A: jnp.ndarray) -> jnp.ndarray:
     rows = jnp.arange(f, dtype=jnp.int32)
 
     for k in range(f):
-        # partial pivot: largest |entry| in column k among rows >= k
+        # partial pivot: largest |entry| in column k among rows >= k.
+        # The pivot row is tracked as a ONE-HOT vector h (first occurrence
+        # of the max), never as an integer index: argmax/take_along_axis
+        # produce int64 indices under x64 and dynamic gathers, both of
+        # which Mosaic rejects inside Pallas kernels.  The row swap
+        # k <-> p becomes a boolean permutation matrix multiply-reduce.
         col = jnp.abs(aug[..., :, k])
         col = jnp.where(rows >= k, col, -jnp.inf)
-        p = jnp.argmax(col, axis=-1).astype(jnp.int32)   # (batch,)
-        # swap rows k <-> p.  Expressed as a one-hot permutation
-        # multiply-reduce rather than take_along_axis: gather-free, so it
-        # lowers both through XLA:TPU and inside Pallas/Mosaic kernels
-        # (which reject non-int32 / dynamic-gather indexing).
-        idx = jnp.where(rows == k, p[..., None],
-                        jnp.where(rows == p[..., None], k, rows))
-        onehot = (idx[..., :, None] == rows).astype(aug.dtype)
-        aug = jnp.sum(onehot[..., :, :, None] * aug[..., None, :, :],
-                      axis=-2)
+        mx = jnp.max(col, axis=-1, keepdims=True)
+        is_mx = col == mx
+        # first occurrence of the max: no is_mx strictly before j
+        # (strictly-lower-triangular mask sum, not cumsum — cumsum has no
+        # Pallas TPU lowering)
+        lt = (rows[:, None] < rows[None, :]).astype(A.dtype)
+        before = jnp.sum(is_mx[..., :, None].astype(A.dtype) * lt, axis=-2)
+        h = is_mx & (before == 0)
+        # perm[i, j] = h[j]        if i == k      (row k receives row p)
+        #            = (j == k)    if h[i]        (row p receives row k)
+        #            = (i == j)    otherwise
+        i_is_k = (rows == k)[..., :, None]
+        j_is_k = (rows == k)[..., None, :]
+        eye_ij = (rows[..., :, None] == rows[..., None, :])
+        perm = jnp.where(i_is_k, h[..., None, :],
+                         jnp.where(h[..., :, None], j_is_k, eye_ij))
+        aug = jnp.sum(perm.astype(aug.dtype)[..., :, :, None]
+                      * aug[..., None, :, :], axis=-2)
         # normalize pivot row, eliminate everywhere else
         pivval = aug[..., k, k][..., None, None]
         rowk = aug[..., k:k + 1, :] / pivval

@@ -99,6 +99,10 @@ class LinearConfig:
     # (and the reference's 1e-4 Newton tolerances) only need ~1e-6 relative
     # inner accuracy, which f32 delivers.
     solve_dtype: str = "f64"        # 'f64' | 'f32'
+    # Krylov matvec backend: 'xla' (default) or 'pallas' (the hardware-
+    # validated ops.ell_spmv kernel; f32 solve_dtype only — Pallas TPU has
+    # no f64).
+    matvec: str = "xla"
 
 
 class StepStats(NamedTuple):
@@ -192,12 +196,16 @@ def make_linear_solver(space: FemSpace, form: WeakForm, cfg: LinearConfig):
                     ell, space.colors, sweeps=cfg.ssor_sweeps)
             else:
                 pc = block_jacobi_preconditioner(ell)
+            mv = ell.matvec
+            if cfg.matvec == "pallas" and cfg.solve_dtype == "f32":
+                from gmpnp_tpu.ops.ell_spmv import ell_matvec_pallas
+                mv = lambda x, _e=ell: ell_matvec_pallas(_e, x)
             if cfg.kind == "gmres":
-                res = gmres(ell.matvec, r, Minv=pc, tol=cfg.tol,
+                res = gmres(mv, r, Minv=pc, tol=cfg.tol,
                             atol=cfg.atol, restart=cfg.restart,
                             maxiter=cfg.maxiter)
             elif cfg.kind == "bicgstab":
-                res = bicgstab(ell.matvec, r, Minv=pc, tol=cfg.tol,
+                res = bicgstab(mv, r, Minv=pc, tol=cfg.tol,
                                atol=cfg.atol, maxiter=cfg.maxiter)
             else:
                 raise ValueError(f"unknown linear solver {cfg.kind!r}")
