@@ -131,9 +131,9 @@ def _build_pore_sweep(lanes=4):
         prog.mesh.facets[prog.mesh.facet_markers == pore_3d.S2].reshape(-1))
 
     def bc_of_theta(theta):
-        bc = prog.bc.set_value(prog.s1_verts, prog.idx["CO2"],
-                               theta["co2_s1"])
-        return bc.set_value(s2, ns, theta["voltage"])
+        bc = prog.bc.set_value_masked(prog.s1_verts, prog.idx["CO2"],
+                                      theta["co2_s1"])
+        return bc.set_value_masked(s2, ns, theta["voltage"])
 
     newton = dataclasses.replace(cfg.newton, loop="while")
     step = make_implicit_step(prog.space, prog.form, newton, cfg.linear,

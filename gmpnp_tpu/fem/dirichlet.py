@@ -50,6 +50,19 @@ class DirichletBC(NamedTuple):
         vals = jnp.asarray(self.values)
         return DirichletBC(self.mask, vals.at[verts, fld].set(value))
 
+    def set_value_masked(self, verts, fld: int, value) -> "DirichletBC":
+        """Scatter-free ``set_value``: the vertex set is baked into a host
+        one-hot mask and the traced scalar enters by elementwise blend.
+        Equivalent to set_value, but safe under ``jax.vmap`` over
+        ``value`` — a vmapped .at[].set scatter kernel-faults the
+        tunneled TPU worker at reference mesh size (docs/TPU_NOTES.md,
+        "vmapped execution at N=3679"); ``verts`` must be concrete."""
+        onehot = np.zeros(np.shape(self.mask), dtype=bool)
+        onehot[np.asarray(verts), fld] = True
+        vals = jnp.where(jnp.asarray(onehot), value,
+                         jnp.asarray(self.values))
+        return DirichletBC(self.mask, vals)
+
     def apply_to_residual(self, r: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
         return jnp.where(self.mask, u - self.values, r)
 

@@ -53,7 +53,7 @@ def run_edl_voltage_sweep(
 
     step = make_implicit_step(
         prog.space, prog.form, _sweep_newton(cfg.newton), cfg.linear,
-        bc_of_theta=lambda theta: prog.bc.set_value(
+        bc_of_theta=lambda theta: prog.bc.set_value_masked(
             left, P, theta["voltage"]))
 
     def single(voltage):
@@ -98,9 +98,9 @@ def run_pore_voltage_sweep(
         prog.mesh.facets[prog.mesh.facet_markers == pore_3d.S2].reshape(-1))
 
     def bc_of_theta(theta):
-        bc = prog.bc.set_value(prog.s1_verts, prog.idx["CO2"],
-                               theta["co2_s1"])
-        return bc.set_value(s2, ns, theta["voltage"])
+        bc = prog.bc.set_value_masked(prog.s1_verts, prog.idx["CO2"],
+                                      theta["co2_s1"])
+        return bc.set_value_masked(s2, ns, theta["voltage"])
 
     step = make_implicit_step(
         prog.space, prog.form, _sweep_newton(cfg.newton), cfg.linear,

@@ -226,3 +226,30 @@ def test_dirichlet_rows():
     expected = np.zeros(N * 2)
     expected[5 * 2 + 1] = 1.0
     np.testing.assert_allclose(row5, expected, atol=1e-14)
+
+
+def test_set_value_masked_equals_set_value():
+    """DirichletBC.set_value_masked (scatter-free, vmap-safe) produces the
+    same BC state as set_value for concrete and traced values."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from gmpnp_tpu.fem import DirichletBC
+
+    bc = DirichletBC.from_vertex_sets(
+        10, 3, [(np.array([0, 3, 7]), 1, 2.5), (np.array([9]), 0, -1.0)])
+    verts = np.array([3, 7, 9])
+    a = bc.set_value(verts, 2, 0.75)
+    b = bc.set_value_masked(verts, 2, 0.75)
+    np.testing.assert_array_equal(np.asarray(a.mask), np.asarray(b.mask))
+    np.testing.assert_allclose(np.asarray(a.values), np.asarray(b.values))
+
+    # traced + vmapped values
+    def vals(v):
+        return bc.set_value_masked(verts, 2, v).values
+
+    out = jax.vmap(vals)(jnp.asarray([0.5, -0.25]))
+    ref0 = np.asarray(bc.set_value(verts, 2, 0.5).values)
+    ref1 = np.asarray(bc.set_value(verts, 2, -0.25).values)
+    np.testing.assert_allclose(np.asarray(out[0]), ref0)
+    np.testing.assert_allclose(np.asarray(out[1]), ref1)
