@@ -11,7 +11,7 @@ sparse structure whose sparsity is precomputed host-side.
 from gmpnp_tpu.fem.elements import QuadratureRule, simplex_quadrature
 from gmpnp_tpu.fem.forms import WeakForm
 from gmpnp_tpu.fem.assembly import FemSpace, BlockELL
-from gmpnp_tpu.fem.dirichlet import DirichletBC
+from gmpnp_tpu.fem.dirichlet import ArithDirichletBC, DirichletBC
 
 __all__ = [
     "QuadratureRule",
@@ -19,5 +19,6 @@ __all__ = [
     "WeakForm",
     "FemSpace",
     "BlockELL",
+    "ArithDirichletBC",
     "DirichletBC",
 ]

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -63,6 +64,12 @@ class DirichletBC(NamedTuple):
                          jnp.asarray(self.values))
         return DirichletBC(self.mask, vals)
 
+    def arith(self) -> "ArithDirichletBC":
+        """Arithmetic-blend view of this BC (see ArithDirichletBC)."""
+        return ArithDirichletBC(
+            self.mask, np.asarray(self.mask, np.float64),
+            jnp.asarray(self.values))
+
     def apply_to_residual(self, r: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
         return jnp.where(self.mask, u - self.values, r)
 
@@ -83,3 +90,51 @@ class DirichletBC(NamedTuple):
     def project(self, u: jnp.ndarray) -> jnp.ndarray:
         """Force constrained dofs to their values."""
         return jnp.where(self.mask, self.values, u)
+
+
+class ArithDirichletBC(NamedTuple):
+    """Dirichlet BC applied by pure arithmetic blends — no ``select``.
+
+    Same semantics as :class:`DirichletBC` (mask is 0/1 so the blends are
+    exact), but the traced/batched BC value never flows through a
+    ``jnp.where`` or a scatter: per-lane Dirichlet values in vmapped sweeps
+    fault the tunneled TPU worker at reference mesh size when they reach a
+    fused select/scatter composition (docs/TPU_NOTES.md, "vmapped execution
+    at N=3679"); multiply-add lowers to plain VPU elementwise kernels.
+
+    ``mask`` (bool) is kept for the Jacobian row rewrite, which only
+    depends on static sparsity, never on the (possibly batched) values.
+    """
+
+    mask: jnp.ndarray    # (N, fields) bool, static
+    maskf: jnp.ndarray   # (N, fields) f64 0/1, static host constant
+    values: jnp.ndarray  # (N, fields), possibly traced / vmap-batched
+
+    def set_value_arith(self, verts, fld: int, value) -> "ArithDirichletBC":
+        """Blend a (possibly traced, possibly vmapped) scalar onto a static
+        vertex set via multiply-add on a host one-hot — scatter/select-free
+        and safe under ``jax.vmap`` over ``value``.
+
+        The blended values are wrapped in ``lax.optimization_barrier``:
+        letting XLA fuse the value-blend into downstream consumers
+        kernel-faults the TPU worker when a batched/traced value lands on
+        the potential field at reference mesh size (probes/probe_r3_n.py:
+        with the barrier — or with the values precomputed host-side — the
+        identical sweep runs; without it, vmap AND lax.map lanes fault).
+        The barrier only forces the (N, f) blend to materialize; it is
+        semantically the identity.
+        """
+        onehot = np.zeros(np.shape(self.mask), dtype=np.float64)
+        onehot[np.asarray(verts), fld] = 1.0
+        vals = self.values * (1.0 - onehot) + value * onehot
+        vals = jax.lax.optimization_barrier(vals)
+        return ArithDirichletBC(self.mask, self.maskf, vals)
+
+    def apply_to_residual(self, r: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+        return r + self.maskf * ((u - self.values) - r)
+
+    def apply_to_jacobian(self, J: BlockELL) -> BlockELL:
+        return DirichletBC(self.mask, self.values).apply_to_jacobian(J)
+
+    def project(self, u: jnp.ndarray) -> jnp.ndarray:
+        return u + self.maskf * (self.values - u)

@@ -88,10 +88,23 @@ def ell_matvec_pallas(ell, x: jnp.ndarray,
     The neighbor gather stays in XLA; only the (N, K, f, f) x (N, K, f)
     reduction runs in the kernel.  f32-only on hardware (Pallas TPU has
     no f64) — used by the solve_dtype='f32' Krylov path via
-    LinearConfig.matvec='pallas'."""
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+    LinearConfig.matvec='pallas'.
+
+    Backend dispatch happens at LOWERING time via ``lax.platform_dependent``
+    (not ``jax.default_backend()``, which reflects the process default: on
+    a TPU host tracing for the CPU backend — e.g. bench.py's same-program
+    CPU baseline — would wrongly emit a Mosaic kernel for CPU).  Non-TPU
+    lowerings take the mathematically identical XLA contraction.
+    """
     N, K, f, _ = ell.shape4
     xg = x[ell.adj]                                   # (N, K, f)
     blocks = ell.blocks4()
-    return ell_block_contract_pallas(blocks, xg, interpret=interpret)
+    if interpret is True:
+        return ell_block_contract_pallas(blocks, xg, interpret=True)
+    return jax.lax.platform_dependent(
+        blocks, xg,
+        tpu=lambda b, g: ell_block_contract_pallas(b, g, interpret=False),
+        # the fused einsum is fine off-TPU (the TPU VMEM-overflow fault
+        # that motivated this kernel is TPU-specific, docs/TPU_NOTES.md)
+        default=lambda b, g: jnp.einsum("nkfg,nkg->nf", b, g),
+    )

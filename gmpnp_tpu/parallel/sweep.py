@@ -31,7 +31,12 @@ def _sweep_newton(newton):
     its body for every lane at every trip (it lowers to a select), so the
     'fori' loop style pays max_iter full Newton iterations per step in a
     batched sweep.  'while' keeps the batched trip count at the max over
-    lanes of the actual iteration counts."""
+    lanes of the actual iteration counts.
+
+    NOTE: the sweep entry points FORCE loop='while' regardless of the
+    caller's NewtonConfig.loop — the fori+cond form is never the right
+    program under vmap (and crashed the TPU worker at 4 lanes,
+    docs/TPU_NOTES.md round-2 'lax.cond is the vmap tax')."""
     return dataclasses.replace(newton, loop="while")
 
 
@@ -51,9 +56,12 @@ def run_edl_voltage_sweep(
     left = np.unique(
         prog.mesh.facets[prog.mesh.facet_markers == 1].reshape(-1))
 
+    # per-lane Dirichlet values enter via the pure-arithmetic BC: the
+    # where/select blend (set_value_masked) kernel-faults the TPU worker
+    # under vmap at reference mesh size (probes/probe_r3_a.py)
     step = make_implicit_step(
         prog.space, prog.form, _sweep_newton(cfg.newton), cfg.linear,
-        bc_of_theta=lambda theta: prog.bc.set_value_masked(
+        bc_of_theta=lambda theta: prog.bc.arith().set_value_arith(
             left, P, theta["voltage"]))
 
     def single(voltage):
@@ -98,9 +106,11 @@ def run_pore_voltage_sweep(
         prog.mesh.facets[prog.mesh.facet_markers == pore_3d.S2].reshape(-1))
 
     def bc_of_theta(theta):
-        bc = prog.bc.set_value_masked(prog.s1_verts, prog.idx["CO2"],
-                                      theta["co2_s1"])
-        return bc.set_value_masked(s2, ns, theta["voltage"])
+        # pure-arithmetic per-lane BC values (see run_edl_voltage_sweep)
+        bc = prog.bc.arith()
+        bc = bc.set_value_arith(prog.s1_verts, prog.idx["CO2"],
+                                theta["co2_s1"])
+        return bc.set_value_arith(s2, ns, theta["voltage"])
 
     step = make_implicit_step(
         prog.space, prog.form, _sweep_newton(cfg.newton), cfg.linear,

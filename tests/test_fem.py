@@ -253,3 +253,49 @@ def test_set_value_masked_equals_set_value():
     ref1 = np.asarray(bc.set_value(verts, 2, -0.25).values)
     np.testing.assert_allclose(np.asarray(out[0]), ref0)
     np.testing.assert_allclose(np.asarray(out[1]), ref1)
+
+
+def test_arith_bc_equals_dirichlet_bc():
+    """ArithDirichletBC (pure multiply-add application — the TPU
+    sweep-safe form: the where/select blend kernel-faults under vmap at
+    reference mesh size, probes/probe_r3_a.py) is semantically identical
+    to DirichletBC on every operation."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from gmpnp_tpu.fem import DirichletBC
+
+    m = uniform_interval_mesh(7)
+    m = m.with_markers(np.zeros(len(m.facets), dtype=np.int32))
+    sp = FemSpace.build(m, 2, quad_degree=2)
+    form = _nonlinear_form(2, 1)
+    rng = np.random.default_rng(11)
+    u = jnp.asarray(rng.uniform(0.5, 1.5, size=(m.num_vertices, 2)))
+
+    bc = DirichletBC.from_vertex_sets(
+        m.num_vertices, 2,
+        [(np.array([0]), 0, 2.5), (np.array([7]), 1, -1.0)])
+    verts = np.array([0, 4])
+
+    a = bc.set_value(verts, 1, 0.3)
+    b = bc.arith().set_value_arith(verts, 1, 0.3)
+
+    r = sp.residual(form, u, u, None)
+    np.testing.assert_allclose(np.asarray(a.apply_to_residual(r, u)),
+                               np.asarray(b.apply_to_residual(r, u)),
+                               atol=1e-15)
+    np.testing.assert_allclose(np.asarray(a.project(u)),
+                               np.asarray(b.project(u)), atol=1e-15)
+    Ja = a.apply_to_jacobian(sp.jacobian(form, u, u, None))
+    Jb = b.apply_to_jacobian(sp.jacobian(form, u, u, None))
+    np.testing.assert_allclose(np.asarray(Ja.to_dense()),
+                               np.asarray(Jb.to_dense()), atol=1e-15)
+
+    # vmapped per-lane value (the sweep's shape)
+    def proj(v):
+        return bc.arith().set_value_arith(verts, 1, v).project(u)
+
+    out = jax.vmap(proj)(jnp.asarray([0.5, -0.25]))
+    for i, v in enumerate([0.5, -0.25]):
+        ref = np.asarray(bc.set_value(verts, 1, v).project(u))
+        np.testing.assert_allclose(np.asarray(out[i]), ref, atol=1e-15)
