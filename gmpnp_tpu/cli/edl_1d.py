@@ -33,12 +33,21 @@ def build_parser():
     p.add_argument("--out_root", type=str, default=None)
     p.add_argument("--n_steps", type=int, default=None,
                    help="override number of time steps (debug)")
-    p.add_argument("--record_stride", type=int, default=1,
-                   help="record every k-th step (bounds history memory)")
+    p.add_argument("--record_stride", type=int, default=None,
+                   help="record every k-th step; default bounds the "
+                        "history to ~1000 snapshots (pass 1 to record "
+                        "every step like the reference)")
     p.add_argument("--checkpoint_dir", type=str, default=None,
                    help="chunked orbax checkpointing; resumes from the "
                         "latest step in this directory if present")
     p.add_argument("--checkpoint_every", type=int, default=1000)
+    p.add_argument("--dt_retries", type=int, default=None,
+                   help="divergence recovery: retry a non-converged step "
+                        "with dt halved up to K times (default: 3 for "
+                        "full-length runs, 0 for --dry_run)")
+    p.add_argument("--newton_backtracking", type=int, default=None,
+                   help="Armijo backtracking halvings per Newton iteration "
+                        "(default 0 = reference-parity damped Newton)")
     return p
 
 
@@ -58,7 +67,12 @@ def main(argv=None):
         params_file=(None if args.params_file == "parameters"
                      else args.params_file),
         dry_run=args.dry_run,
+        dt_retries=args.dt_retries,
     )
+    if args.newton_backtracking is not None:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, newton=dataclasses.replace(
+            cfg.newton, backtracking=args.newton_backtracking))
     res = edl_1d.run(cfg, out_root=args.out_root, n_steps=args.n_steps,
                      record_stride=args.record_stride,
                      checkpoint_dir=args.checkpoint_dir,

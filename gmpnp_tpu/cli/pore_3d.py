@@ -32,12 +32,21 @@ def add_common_pore_args(p):
     p.add_argument("--mesh_resolution", type=int, nargs=2, default=None,
                    metavar=("RINGS", "LAYERS"),
                    help="generated-mesh resolution override (debug scale)")
-    p.add_argument("--record_stride", type=int, default=1,
-                   help="record every k-th step (bounds history memory)")
+    p.add_argument("--record_stride", type=int, default=None,
+                   help="record every k-th step; default bounds the "
+                        "history to ~1000 snapshots (pass 1 to record "
+                        "every step like the reference)")
     p.add_argument("--checkpoint_dir", type=str, default=None,
                    help="chunked orbax checkpointing; resumes from the "
                         "latest step in this directory if present")
     p.add_argument("--checkpoint_every", type=int, default=100)
+    p.add_argument("--dt_retries", type=int, default=None,
+                   help="divergence recovery: retry a non-converged step "
+                        "with dt halved up to K times (default: 3 for "
+                        "full-length runs, 0 with --n_steps)")
+    p.add_argument("--newton_backtracking", type=int, default=None,
+                   help="Armijo backtracking halvings per Newton iteration "
+                        "(default 0 = reference-parity damped Newton)")
 
 
 def build_parser():
@@ -72,10 +81,17 @@ def config_from_args(args, physics):
     )
     if getattr(args, "mesh_resolution", None):
         kw["mesh_resolution"] = tuple(args.mesh_resolution)
+    if getattr(args, "dt_retries", None) is not None:
+        kw["dt_retries"] = args.dt_retries
     if physics == "GMPNP":
         kw["voltage_multiplier"] = args.voltage_multiplier
         kw["faithful"] = not args.corrected_fluxes
-    return pore_3d.Pore3DConfig(**kw)
+    cfg = pore_3d.Pore3DConfig(**kw)
+    if getattr(args, "newton_backtracking", None) is not None:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, newton=dataclasses.replace(
+            cfg.newton, backtracking=args.newton_backtracking))
+    return cfg
 
 
 def main(argv=None):

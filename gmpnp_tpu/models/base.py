@@ -91,3 +91,22 @@ def right_boundary_vertices(mesh: Mesh) -> np.ndarray:
 def left_boundary_vertices(mesh: Mesh) -> np.ndarray:
     sel = mesh.facet_markers == LEFT
     return np.unique(mesh.facets[sel].reshape(-1))
+
+
+def auto_record_stride(n_steps: int, max_records: int = 1000) -> int:
+    """Bounded-history default for full-length transients (SURVEY §5).
+
+    The reference vstacks every field at every step with unbounded memory
+    (1D/MPNP_CO2ER_EDL.py:757-763).  Here full-length CLI runs default to
+    the smallest stride k dividing ``n_steps`` that keeps the recorded
+    device history at or under ``max_records`` snapshots; callers wanting
+    the reference's record-everything behavior pass record_stride=1
+    explicitly.  (run_transient requires k | n_steps.)
+    """
+    if n_steps <= max_records:
+        return 1
+    import math
+    for k in range(math.ceil(n_steps / max_records), n_steps + 1):
+        if n_steps % k == 0:
+            return k
+    return n_steps

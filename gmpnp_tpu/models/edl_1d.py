@@ -42,6 +42,7 @@ from gmpnp_tpu.solve.timeloop import (
     LinearConfig,
     NewtonConfig,
     make_implicit_step,
+    make_recovering_step,
     run_transient,
 )
 
@@ -71,6 +72,12 @@ class EDL1DConfig:
     quad_degree: int = 3
     faithful_supg: bool = True   # reproduce the grad(u_H) slip in the OH
                                  # SUPG row (ref :697); False corrects it
+    # divergence recovery: retry a non-converged step with dt halved, up to
+    # this many times (solve.timeloop.make_recovering_step).  None = auto:
+    # 3 for full-length runs, 0 for dry runs (recovery is the production
+    # default per SURVEY §5 — the reference dies on a diverged Newton,
+    # 1D/MPNP_CO2ER_EDL.py has no recovery at all)
+    dt_retries: Optional[int] = None
     newton: NewtonConfig = field(default_factory=lambda: NewtonConfig(
         max_iter=50, rtol=1.0e-4, atol=1.0e-4))  # ref :357-364
     linear: LinearConfig = field(default_factory=lambda: LinearConfig(
@@ -171,9 +178,17 @@ class EDL1DProgram:
         checkpointing with automatic resume (SURVEY §5)."""
         cfg = self.config
         n = self.tot_num_steps if n_steps is None else n_steps
-        step = make_implicit_step(
-            self.space, self.form, cfg.newton, cfg.linear,
-            bc_of_theta=lambda theta: self.bc)
+        retries = cfg.dt_retries
+        if retries is None:
+            retries = 0 if cfg.dry_run else 3
+        if retries > 0:
+            step = make_recovering_step(
+                self.space, self.form, cfg.newton, cfg.linear,
+                bc_of_theta=lambda theta: self.bc, max_retries=retries)
+        else:
+            step = make_implicit_step(
+                self.space, self.form, cfg.newton, cfg.linear,
+                bc_of_theta=lambda theta: self.bc)
         u0 = jnp.concatenate(
             [jnp.ones((self.space.num_vertices, 6)),
              jnp.zeros((self.space.num_vertices, 1))], axis=1)
@@ -190,7 +205,10 @@ class EDL1DProgram:
                 update_carry=self._update_carry)
             ckpt.close()
             if ys is None:
-                return u0, np.asarray(u_final)[None][:0], None, float(chf)
+                # resumed at the final step (VERDICT r2 weak #2): return the
+                # checkpointed final state as the single history record so
+                # the writers rebuild the finished run's outputs cleanly
+                return u0, np.asarray(u_final)[None], None, float(chf)
             u_hist, stats = ys
         else:
             (u_final, chf), (u_hist, stats) = run_transient(
@@ -350,12 +368,19 @@ def scale_back(tau, C, species, initial_conc, diff_coeff, L_n, L_debye):
 
 def run(cfg: EDL1DConfig, out_root: Optional[str] = None,
         write: bool = True, n_steps: Optional[int] = None,
-        verbose: bool = False, record_stride: int = 1,
+        verbose: bool = False, record_stride: Optional[int] = None,
         checkpoint_dir: Optional[str] = None,
         checkpoint_every: int = 1000):
     """Full reference-parity run with npz/metadata outputs
-    (key sets per 1D/MPNP_CO2ER_EDL.py:821-832,906-924,960-989)."""
+    (key sets per 1D/MPNP_CO2ER_EDL.py:821-832,906-924,960-989).
+
+    record_stride=None (default) bounds the recorded history to ~1000
+    snapshots for long runs (base.auto_record_stride); pass 1 for the
+    reference's record-every-step behavior."""
     prog = build(cfg)
+    if record_stride is None:
+        record_stride = base.auto_record_stride(
+            n_steps if n_steps is not None else prog.tot_num_steps)
     u0, u_hist, stats, current_H_frac = prog.run(
         n_steps=n_steps, record_stride=record_stride,
         checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every)
@@ -457,9 +482,21 @@ def run(cfg: EDL1DConfig, out_root: Optional[str] = None,
         "CO2_OHP_frac": CO2_OHP_frac,
         "pH_overpotential": pH_overpotential,
         "CO2_overpotential": CO2_overpotential,
-        # framework extras
-        "newton_iters_total": int(np.asarray(stats.newton_iters).sum()),
-        "all_steps_converged": bool(np.asarray(stats.converged).all()),
+        # framework extras (stats is None when a checkpointed run resumed
+        # at completion: zero steps executed this invocation)
+        "newton_iters_total": (
+            int(np.asarray(stats.newton_iters).sum())
+            if stats is not None else 0),
+        "all_steps_converged": (
+            bool(np.asarray(stats.converged).all())
+            if stats is not None else True),
+        "resumed_complete": stats is None,
+        # divergence-recovery record: steps that needed a dt cut, and the
+        # physical time actually advanced (sum of dt * dt_scale; equals the
+        # schedule total when no cuts fired)
+        "dt_cut_steps": (
+            int((np.asarray(stats.dt_scale) < 1.0).sum())
+            if stats is not None else 0),
     }
 
     result = {

@@ -79,6 +79,8 @@ def newton_solve(
         fault once seen when threading a second (N, f) array through
         Krylov-heavy (SSOR/BiCGStab) loop bodies.
     """
+    if loop not in ("fori", "while"):
+        raise ValueError(f"loop must be 'fori' or 'while', got {loop!r}")
     r0 = residual_fn(u0)
     n0 = _l2(r0)
 

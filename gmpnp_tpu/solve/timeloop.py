@@ -14,6 +14,7 @@ carry update, so none of it triggers recompilation.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Any, Callable, NamedTuple, Optional, Tuple
 
@@ -110,10 +111,58 @@ class StepStats(NamedTuple):
     converged: jnp.ndarray
     residual_norm: jnp.ndarray
     linear_iters: jnp.ndarray
+    # dt actually used / scheduled dt: 1.0 on the plain path; 0.5**k after
+    # k divergence-triggered halvings by make_recovering_step
+    dt_scale: Any = 1.0
+
+
+_LINEAR_KINDS = ("tridiag_cr", "tridiag_thomas", "dense", "slab_direct",
+                 "gmres", "bicgstab")
+
+
+def _validate_linear_config(cfg: LinearConfig) -> None:
+    """Fail fast on unrecognized string knobs (ADVICE r2: a typo like
+    refresh='Step' silently ran exact Newton; matvec='pallas' with
+    solve_dtype='f64' was silently ignored)."""
+    if cfg.kind not in _LINEAR_KINDS:
+        raise ValueError(
+            f"unknown linear solver kind {cfg.kind!r}; one of {_LINEAR_KINDS}")
+    if cfg.refresh not in ("iter", "step"):
+        raise ValueError(f"refresh must be 'iter' or 'step', got "
+                         f"{cfg.refresh!r}")
+    if cfg.matvec not in ("xla", "pallas"):
+        raise ValueError(f"matvec must be 'xla' or 'pallas', got "
+                         f"{cfg.matvec!r}")
+    if cfg.precond not in ("block_jacobi", "ssor"):
+        raise ValueError(f"precond must be 'block_jacobi' or 'ssor', got "
+                         f"{cfg.precond!r}")
+    if cfg.jac_dtype not in ("f32", "f64"):
+        raise ValueError(f"jac_dtype must be 'f32' or 'f64', got "
+                         f"{cfg.jac_dtype!r}")
+    if cfg.solve_dtype not in ("f32", "f64"):
+        raise ValueError(f"solve_dtype must be 'f32' or 'f64', got "
+                         f"{cfg.solve_dtype!r}")
+    if cfg.matvec == "pallas" and cfg.solve_dtype != "f32":
+        raise ValueError(
+            "matvec='pallas' requires solve_dtype='f32' (Pallas TPU has no "
+            "f64); it would otherwise be silently ignored")
+    if (cfg.precond == "ssor" and cfg.kind in ("gmres", "bicgstab")
+            and jax.default_backend() == "tpu"
+            and not os.environ.get("GMPNP_ALLOW_TPU_SSOR")):
+        # VERDICT r2 item 8: the in-Newton multicolor-SSOR composition
+        # reproducibly kernel-faults the tunneled TPU worker (root cause
+        # open, docs/TPU_NOTES.md) — refuse loudly instead of crashing the
+        # worker.  Set GMPNP_ALLOW_TPU_SSOR=1 to probe it anyway.
+        raise ValueError(
+            "precond='ssor' inside Newton kernel-faults the TPU worker "
+            "(docs/TPU_NOTES.md 'Multicolor SSOR faults inside Newton "
+            "loops'); use precond='block_jacobi' or kind='slab_direct', "
+            "or set GMPNP_ALLOW_TPU_SSOR=1 to override")
 
 
 def make_linear_solver(space: FemSpace, form: WeakForm, cfg: LinearConfig):
     """(bc, u_prev, theta) -> callable (u, r) -> (du, linear_iters)."""
+    _validate_linear_config(cfg)
     slab_plan = None
     if cfg.kind == "slab_direct":
         from gmpnp_tpu.solve.slab import SlabPlan
@@ -275,7 +324,7 @@ def make_retrying_step(
     """
 
     def retry_step(u_prev, theta):
-        dt0 = theta[dt_key]
+        dt0 = jnp.asarray(theta[dt_key])  # models may carry dt as a float
 
         def attempt(k):
             th = dict(theta)
@@ -297,6 +346,36 @@ def make_retrying_step(
         return u, st, 0.5 ** k.astype(dt0.dtype)
 
     return retry_step
+
+
+def make_recovering_step(
+    space: FemSpace,
+    form: WeakForm,
+    newton_cfg: NewtonConfig,
+    linear_cfg: LinearConfig,
+    bc_of_theta: Callable[[Any], DirichletBC],
+    max_retries: int = 3,
+):
+    """Production step with divergence recovery: ``make_implicit_step``
+    wrapped in ``make_retrying_step``, with the accepted attempt's dt
+    halving factor recorded in ``StepStats.dt_scale`` so transients track
+    the physical time actually advanced.
+
+    This is the default for full-length model runs (VERDICT r2 item 3: the
+    recovery machinery existed but had zero production call sites — a
+    diverged full-length run still scanned past failure recording
+    converged=False, exactly the reference's failure mode with better
+    logging).  Step signature matches make_implicit_step.
+    """
+    base = make_implicit_step(space, form, newton_cfg, linear_cfg,
+                              bc_of_theta)
+    retry = make_retrying_step(base, max_retries=max_retries)
+
+    def step(u_prev, theta):
+        u, st, scale = retry(u_prev, theta)
+        return u, st._replace(dt_scale=scale)
+
+    return step
 
 
 def run_transient(

@@ -132,6 +132,61 @@ def test_pore_cli_kill_and_resume(tmp_path):
                                    atol=1e-12)
 
 
+def test_pore_cli_resume_at_completion(tmp_path):
+    """Re-invoking a FINISHED checkpointed run must exit cleanly and rewrite
+    the finished run's outputs — not crash on stats=None (VERDICT r2 weak
+    #2: models/pore_3d.py:514 dereferenced stats.newton_iters after a
+    resume-at-completion returned stats=None)."""
+    from gmpnp_tpu.cli import pore_3d as cli
+
+    common = ["--L", "100e-9", "--R", "10e-9", "--mesh_resolution", "2", "8",
+              "--out_root"]
+    ck = str(tmp_path / "ckpt")
+
+    res1 = cli.main(common + [str(tmp_path / "first"), "--n_steps", "4",
+                              "--checkpoint_dir", ck,
+                              "--checkpoint_every", "2"])
+    # nothing left to do: the natural "is it done?" re-invocation
+    res2 = cli.main(common + [str(tmp_path / "again"), "--n_steps", "4",
+                              "--checkpoint_dir", ck,
+                              "--checkpoint_every", "2"])
+
+    meta2 = json.load(open(os.path.join(res2["run_dir"], "metadata.json")))
+    assert meta2["resumed_complete"] is True
+    assert meta2["all_steps_converged"] is True
+
+    a = np.load(os.path.join(res1["run_dir"], "arrays_unscaled.npz"))
+    b = np.load(os.path.join(res2["run_dir"], "arrays_unscaled.npz"))
+    for k in ("H", "OH", "CO2", "p"):
+        np.testing.assert_allclose(b[k][-1], a[k][-1], rtol=1e-10,
+                                   atol=1e-12)
+
+
+def test_edl_cli_resume_at_completion(tmp_path):
+    """Same regression for the 1D EDL CLI (models/edl_1d.py:461)."""
+    from gmpnp_tpu.cli import edl_1d as cli
+
+    common = ["--L_n", "1e-6", "--model", "PNP",
+              "--n_steps", "3", "--out_root"]
+    ck = str(tmp_path / "ckpt")
+
+    res1 = cli.main(common + [str(tmp_path / "first"),
+                              "--checkpoint_dir", ck,
+                              "--checkpoint_every", "3"])
+    res2 = cli.main(common + [str(tmp_path / "again"),
+                              "--checkpoint_dir", ck,
+                              "--checkpoint_every", "3"])
+
+    meta2 = json.load(open(os.path.join(res2["run_dir"], "metadata.json")))
+    assert meta2["resumed_complete"] is True
+
+    a = np.load(os.path.join(res1["run_dir"], "arrays_unscaled.npz"))
+    b = np.load(os.path.join(res2["run_dir"], "arrays_unscaled.npz"))
+    for k in ("H", "OH", "p"):
+        np.testing.assert_allclose(b[k][-1], a[k][-1], rtol=1e-10,
+                                   atol=1e-12)
+
+
 def test_pore_cli_record_stride(tmp_path):
     from gmpnp_tpu.cli import pore_3d as cli
 
