@@ -10,7 +10,16 @@ from gmpnp_tpu.models import edl_1d
 
 
 def _bool(v):
-    return str(v).lower() not in ("false", "0", "no", "")
+    """Y/N flag parser matching the reference CLI convention
+    (1D/MPNP_CO2ER_EDL.py --dry_run Y/N).  Round-3 regression: 'N' was
+    not in the falsey set, so ``--dry_run N`` silently stayed a dry run
+    (and dry runs default to zero divergence retries)."""
+    s = str(v).strip().lower()
+    if s in ("true", "1", "yes", "y", "t"):
+        return True
+    if s in ("false", "0", "no", "n", "f", ""):
+        return False
+    raise argparse.ArgumentTypeError(f"expected Y/N boolean, got {v!r}")
 
 
 def build_parser():
@@ -47,7 +56,10 @@ def build_parser():
                         "full-length runs, 0 for --dry_run)")
     p.add_argument("--newton_backtracking", type=int, default=None,
                    help="Armijo backtracking halvings per Newton iteration "
-                        "(default 0 = reference-parity damped Newton)")
+                        "(default: auto — 4 for full-length runs, 0 = "
+                        "reference-parity damped Newton for --dry_run; "
+                        "plain Newton cannot start the V=-12.5 config, "
+                        "probes/probe_r3_o.py)")
     return p
 
 
@@ -71,8 +83,8 @@ def main(argv=None):
     )
     if args.newton_backtracking is not None:
         import dataclasses
-        cfg = dataclasses.replace(cfg, newton=dataclasses.replace(
-            cfg.newton, backtracking=args.newton_backtracking))
+        cfg = dataclasses.replace(
+            cfg, backtracking=args.newton_backtracking)
     res = edl_1d.run(cfg, out_root=args.out_root, n_steps=args.n_steps,
                      record_stride=args.record_stride,
                      checkpoint_dir=args.checkpoint_dir,

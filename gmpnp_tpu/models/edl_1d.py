@@ -25,7 +25,7 @@ del_t = dt_phys/time_constant, time_constant = L_debye*L_n/D_CO32.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace as _dc_replace
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -78,6 +78,14 @@ class EDL1DConfig:
     # default per SURVEY §5 — the reference dies on a diverged Newton,
     # 1D/MPNP_CO2ER_EDL.py has no recovery at all)
     dt_retries: Optional[int] = None
+    # Armijo backtracking halvings per Newton iteration.  None = auto: 4
+    # for full-length runs, 0 (reference-parity plain damped Newton) for
+    # dry runs.  At V=-12.5 (the hardest published config) the cold start
+    # diverges under plain Newton at EVERY dt down to dt/8 — dt cuts
+    # alone cannot rescue it — while backtracking converges every step at
+    # the reference schedule (probes/probe_r3_o.py: retry3 NaNs,
+    # bt4+retry3 converges 6/6).
+    backtracking: Optional[int] = None
     newton: NewtonConfig = field(default_factory=lambda: NewtonConfig(
         max_iter=50, rtol=1.0e-4, atol=1.0e-4))  # ref :357-364
     linear: LinearConfig = field(default_factory=lambda: LinearConfig(
@@ -181,13 +189,18 @@ class EDL1DProgram:
         retries = cfg.dt_retries
         if retries is None:
             retries = 0 if cfg.dry_run else 3
+        bt = cfg.backtracking
+        if bt is None:
+            bt = 0 if cfg.dry_run else 4
+        newton = (_dc_replace(cfg.newton, backtracking=bt)
+                  if bt != cfg.newton.backtracking else cfg.newton)
         if retries > 0:
             step = make_recovering_step(
-                self.space, self.form, cfg.newton, cfg.linear,
+                self.space, self.form, newton, cfg.linear,
                 bc_of_theta=lambda theta: self.bc, max_retries=retries)
         else:
             step = make_implicit_step(
-                self.space, self.form, cfg.newton, cfg.linear,
+                self.space, self.form, newton, cfg.linear,
                 bc_of_theta=lambda theta: self.bc)
         u0 = jnp.concatenate(
             [jnp.ones((self.space.num_vertices, 6)),

@@ -199,3 +199,20 @@ def test_pore_cli_record_stride(tmp_path):
         assert a[k].shape[0] == 3   # u0 + 2 recorded states
         assert np.isfinite(a[k]).all()
     assert a["tau"].shape[0] == 2
+
+
+def test_edl_cli_yn_flag_parsing():
+    """Regression (round 3): '--dry_run N' must parse False.  The original
+    _bool treated 'N' as truthy, so the V=-12.5 full-length recovery run
+    silently executed the 100-step dry-run schedule with zero dt retries
+    (dry runs default to no recovery)."""
+    from gmpnp_tpu.cli import edl_1d as cli
+
+    p = cli.build_parser()
+    assert p.parse_args(["--dry_run", "N"]).dry_run is False
+    assert p.parse_args(["--dry_run", "n"]).dry_run is False
+    assert p.parse_args(["--dry_run", "Y"]).dry_run is True
+    assert p.parse_args(["--dry_run", "y"]).dry_run is True
+    assert p.parse_args(["--dry_run", "false"]).dry_run is False
+    with pytest.raises(SystemExit):
+        p.parse_args(["--dry_run", "maybe"])
