@@ -1,33 +1,32 @@
-"""Headline benchmark: 3D GMPNP pore transient at reference scale.
+"""Headline benchmark: the five BASELINE configs on real hardware.
 
-BASELINE.json config 5 is the 3D GMPNP pore (the reference's headline
-workload: 9 fields x ~3.6k nodes x 1,000 backward-Euler steps under
-MUMPS, 3D/MPNP_CO2ER_pore.py:329-365).  This benchmark runs the first
-N_STEPS steps of that transient on the shipped L_50_R_5 mesh (3,679
-nodes / 17,297 tets; regenerated if the reference data is not mounted)
-with the framework's production configuration: damped Newton over the
-z-slab block-banded mixed-precision direct solver (solve.slab — the
-TPU-native MUMPS replacement).  A second config benches the 1D GMPNP
-EDL flagship (BASELINE config 2, dry-run length).
+BASELINE.json's configs (SURVEY.md §6, BASELINE.md):
+  1. 1D reaction-diffusion planar    — 5 fields x 5,991 nodes x 500 steps
+     (1D/rxn_diff_planar.py:169-206)
+  2. 1D GMPNP EDL (flagship 1D)      — 7 fields x 1,091 nodes, dry-run
+     window (1D/MPNP_CO2ER_EDL.py:216-290); plus the PRODUCTION operating
+     point: the 8-lane voltage sweep (README.md:37-39)
+  3. Stern post-solve                — closed-form + ODE, 5 voltages
+     (1D/Stern_CO2ER.py:179-180); host-side, recorded for completeness
+  4. 3D rxn-diff pore at L_50_R_5    — 7 fields x 3,679 nodes
+     (3D/rxn_diff_CO2ER_pore.py:287-323)
+  5. 3D GMPNP pore at L_50_R_5       — 9 fields x 3,679 nodes (the
+     headline; 3D/MPNP_CO2ER_pore.py:329-365), single-config AND the
+     4-lane voltage sweep AT THE REFERENCE MESH (per-lane Dirichlet via
+     the arithmetic BC — the where/select form kernel-faults under vmap,
+     probes/probe_r3_a.py)
 
-Protocol (round-2: the tunneled backend now supports re-executing a
-compiled program): AOT-compile, one warm-up execution, then the median
-of REPS timed executions, each ending in a value fetch
-(block_until_ready does not surface async faults through the tunnel,
-docs/TPU_NOTES.md).  Reported per config:
-  - ms per transient step
-  - ms per Newton iteration (the BASELINE.md metric; normalizes away
-    steps that converge in zero iterations once the transient settles)
-  - vs_baseline: CPU-backend wall-clock for the same compiled program
-    on this host / TPU wall-clock (the BASELINE.json axis "target >=
-    10x single-CPU-core"; the XLA CPU backend is multi-threaded, so
-    this undercounts the advantage vs one core).
-CPU costs are measured once and cached in bench_cpu_baseline.json,
-keyed by config.
+Protocol (BENCH v6): AOT-compile, one warm-up execution, then the median
+of REPS timed executions each ending in a value fetch — ON BOTH BACKENDS
+(round 2 timed the CPU baseline with reps=1; VERDICT r2 weak #4 called
+the asymmetry).  CPU costs are cached in bench_cpu_baseline.json keyed by
+config+protocol version.  3D transients use an N_STEPS-step window; the
+1D configs run their full reference schedules.
 
-Prints ONE JSON line:
-    {"metric": ..., "value": <ms/step of the 3D headline config>,
-     "unit": "ms/step", "vs_baseline": ..., "extra": {...}}
+Each config runs in its own subprocess: a TPU worker crash in one config
+cannot take down the others.  Prints ONE JSON line; if the headline
+config failed, a top-level "error" field is set (ADVICE r2: a null value
+must be distinguishable from a measured one).
 """
 
 import json
@@ -38,13 +37,33 @@ import numpy as np
 
 N_STEPS = 8
 REPS = 3
+VER = "v6"
 HERE = os.path.dirname(os.path.abspath(__file__))
 _CPU_CACHE = os.path.join(HERE, "bench_cpu_baseline.json")
 os.environ.setdefault("GMPNP_UTILITIES", "/root/reference/utilities")
 
 
-def _build_pore():
+def _scan_transient(prog, step, n_steps, carry_extra, update_carry=None):
     import jax
+    import jax.numpy as jnp
+
+    def run(u0):
+        def body(carry, i):
+            u, extra = carry
+            th = prog._theta_of_carry((u, extra), i)
+            u_new, st = step(u, th)
+            if update_carry is not None:
+                extra = update_carry(extra, u_new, i)
+            return (u_new, extra), st.newton_iters
+
+        (u, _), iters = jax.lax.scan(
+            body, (u0, carry_extra), jnp.arange(n_steps))
+        return u, iters
+
+    return run
+
+
+def _build_pore():
     import jax.numpy as jnp
 
     from gmpnp_tpu.models import pore_3d
@@ -55,66 +74,142 @@ def _build_pore():
     nf, ns = cfg.n_fields, len(cfg.species)
     step = make_implicit_step(prog.space, prog.form, cfg.newton, cfg.linear,
                               bc_of_theta=prog._bc_of_theta)
-
-    def run(u0):
-        def body(carry, i):
-            u, extra = carry
-            th = prog._theta_of_carry((u, extra), i)
-            u_new, st = step(u, th)
-            return (u_new, extra), st.newton_iters
-
-        (u, _), iters = jax.lax.scan(
-            body, (u0, jnp.asarray(0.0)), jnp.arange(N_STEPS))
-        return u, iters
-
+    run = _scan_transient(prog, step, N_STEPS, jnp.asarray(0.0))
     u0 = jnp.ones((prog.space.num_vertices, nf)).at[:, ns].set(0.0)
-    key = f"pore3d_gmpnp/L50R5/N{prog.space.num_vertices}/steps{N_STEPS}/slab/v5"
+    key = (f"pore3d_gmpnp/L50R5/N{prog.space.num_vertices}"
+           f"/steps{N_STEPS}/slab/{VER}")
+    return run, u0, key, prog.space.num_vertices
+
+
+def _build_rxn3d():
+    """BASELINE config 4: 3D rxn-diff pore at the shipped L_50_R_5."""
+    import jax.numpy as jnp
+
+    from gmpnp_tpu.models import pore_3d
+    from gmpnp_tpu.solve.timeloop import make_implicit_step
+
+    cfg = pore_3d.Pore3DConfig(physics="rxn_diff", L=50e-9, R=5e-9)
+    prog = pore_3d.build(cfg)
+    step = make_implicit_step(prog.space, prog.form, cfg.newton, cfg.linear,
+                              bc_of_theta=prog._bc_of_theta)
+    run = _scan_transient(prog, step, N_STEPS, jnp.asarray(0.0))
+    u0 = jnp.ones((prog.space.num_vertices, cfg.n_fields))
+    key = (f"pore3d_rxndiff/L50R5/N{prog.space.num_vertices}"
+           f"/steps{N_STEPS}/slab/{VER}")
     return run, u0, key, prog.space.num_vertices
 
 
 def _build_edl():
+    import jax.numpy as jnp
+
+    from gmpnp_tpu.models import edl_1d
+    from gmpnp_tpu.solve.timeloop import make_implicit_step
+
+    cfg = edl_1d.EDL1DConfig(L_n=1.0e-6, dry_run=True)
+    prog = edl_1d.build(cfg)
+    step = make_implicit_step(prog.space, prog.form, cfg.newton, cfg.linear,
+                              bc_of_theta=lambda theta: prog.bc)
+    n = 100   # dry-run schedule length (ref 1D/MPNP_CO2ER_EDL.py:256-268)
+    run = _scan_transient(
+        prog, step, n,
+        jnp.asarray(0.001 if cfg.H_OHP is not None else 0.0),
+        update_carry=prog._update_carry)
+    u0 = jnp.concatenate(
+        [jnp.ones((prog.space.num_vertices, 6)),
+         jnp.zeros((prog.space.num_vertices, 1))], axis=1)
+    key = f"edl1d_gmpnp/1um/N{prog.space.num_vertices}/steps{n}/cr/{VER}"
+    return run, u0, key, n
+
+
+def _build_rxn1d():
+    """BASELINE config 1: 1D rxn-diff planar, 50um mesh (N=5991), the FULL
+    500-step schedule (dt=2e-2 s, T=10 s; 1D/rxn_diff_planar.py:169-206)."""
+    import jax.numpy as jnp
+
+    from gmpnp_tpu.models import rxn_diff_1d
+    from gmpnp_tpu.solve.timeloop import make_implicit_step
+
+    cfg = rxn_diff_1d.RxnDiff1DConfig(L_n=50.0e-6)
+    prog = rxn_diff_1d.build(cfg)
+    n = prog.num_steps
+    step = make_implicit_step(prog.space, prog.form, cfg.newton, cfg.linear,
+                              bc_of_theta=lambda theta: prog.bc)
+
+    import jax
+
+    def run(u0):
+        def body(carry, i):
+            u_new, st = step(carry, prog.theta)
+            return u_new, st.newton_iters
+
+        u, iters = jax.lax.scan(body, u0, jnp.arange(n))
+        return u, iters
+
+    u0 = jnp.ones((prog.space.num_vertices, 5))
+    key = f"rxndiff1d/50um/N{prog.space.num_vertices}/steps{n}/cr/{VER}"
+    return run, u0, key, n
+
+
+def _build_edl_sweep(lanes=8):
+    """Config-2 production operating point: 8-lane vmapped voltage sweep
+    of the 1D EDL dry-run window (the reference runs these as independent
+    cluster jobs, README.md:37-39)."""
     import jax
     import jax.numpy as jnp
 
     from gmpnp_tpu.models import edl_1d
+    from gmpnp_tpu.parallel.sweep import _sweep_newton
+    from gmpnp_tpu.solve.timeloop import make_implicit_step
 
     cfg = edl_1d.EDL1DConfig(L_n=1.0e-6, dry_run=True)
     prog = edl_1d.build(cfg)
-    from gmpnp_tpu.solve.timeloop import make_implicit_step
+    P = edl_1d.P
+    left = np.unique(
+        prog.mesh.facets[prog.mesh.facet_markers == 1].reshape(-1))
+    step = make_implicit_step(
+        prog.space, prog.form, _sweep_newton(cfg.newton), cfg.linear,
+        bc_of_theta=lambda theta: prog.bc.arith().set_value_arith(
+            left, P, theta["voltage"]))
+    n = 100
 
-    step = make_implicit_step(prog.space, prog.form, cfg.newton, cfg.linear,
-                              bc_of_theta=lambda theta: prog.bc)
-    n = 100   # dry-run schedule length (ref 1D/MPNP_CO2ER_EDL.py:256-268)
+    def run(u0v, voltages):
+        def single(u0_l, voltage):
+            def body(carry, i):
+                u, chf = carry
+                th = prog._theta_of_carry((u, chf), i)
+                th["voltage"] = voltage
+                u_new, st = step(u, th)
+                chf = prog._update_carry(chf, u_new, i)
+                return (u_new, chf), st.newton_iters
 
-    def run(u0):
-        def body(carry, i):
-            u, chf = carry
-            th = prog._theta_of_carry((u, chf), i)
-            u_new, st = step(u, th)
-            chf = prog._update_carry(chf, u_new, i)
-            return (u_new, chf), st.newton_iters
+            (u, _), iters = jax.lax.scan(
+                body, (u0_l, jnp.asarray(0.0)), jnp.arange(n))
+            return u, iters
 
-        (u, _), iters = jax.lax.scan(
-            body, (u0, jnp.asarray(0.001 if cfg.H_OHP is not None else 0.0)),
-            jnp.arange(n))
-        return u, iters
+        return jax.vmap(single)(u0v, voltages)
 
     u0 = jnp.concatenate(
         [jnp.ones((prog.space.num_vertices, 6)),
          jnp.zeros((prog.space.num_vertices, 1))], axis=1)
-    key = f"edl1d_gmpnp/1um/N{prog.space.num_vertices}/steps{n}/cr/v5"
-    return run, u0, key, n
+    u0v = jnp.stack([u0] * lanes)
+    volts = jnp.asarray(np.linspace(-1.0, -12.5, lanes))
+    key = (f"edl1d_sweep/1um/N{prog.space.num_vertices}"
+           f"/steps{n}x{lanes}/cr/{VER}")
+    return run, (u0v, volts), key, n * lanes
 
 
 def _build_pore_sweep(lanes=4):
-    """BASELINE config 5 is explicitly the pore WITH a voltage sweep
-    (the reference's production pattern: one cluster job per flag value,
-    README.md:37-39).  A vmapped 8-step transient over ``lanes`` wall
-    voltages; while-loop Newton (a vmapped lax.cond pays max_iter full
-    bodies per trip, probe_r2_g).  Runs at the (3,24) generated mesh
-    (N=925): vmapped execution at the shipped N=3679 mesh kernel-faults
-    the tunneled worker even at 2 lanes (probe_r2_j) — size-dependent,
-    under investigation."""
+    """BASELINE config 5 as written: the 3D GMPNP voltage sweep AT THE
+    REFERENCE MESH (shipped L_50_R_5, N=3679), HOST-chunked (the
+    production large-mesh mode, parallel.sweep._auto_chunk): ONE compiled
+    single-lane program with the wall voltage and Sechenov CO2 value as
+    traced arguments through the pure-arithmetic BC
+    (fem.dirichlet.ArithDirichletBC), executed once per lane.  Any
+    single program holding 4+ transient replicas — vmap, lax.map, or
+    map-of-vmap, any lane values — crashes the tunneled TPU worker on
+    execution at this mesh size (probes/probe_r3_p.py), and batching is
+    slower anyway (one lane saturates the chip: 3,030 ms/lane-step
+    vmap-2 vs ~950 host-chunked)."""
     import dataclasses
 
     import jax
@@ -123,43 +218,64 @@ def _build_pore_sweep(lanes=4):
     from gmpnp_tpu.models import pore_3d
     from gmpnp_tpu.solve.timeloop import make_implicit_step
 
-    cfg = pore_3d.Pore3DConfig(physics="GMPNP", L=100e-9, R=10e-9,
-                               mesh_resolution=(3, 24))
+    cfg = pore_3d.Pore3DConfig(physics="GMPNP", L=50e-9, R=5e-9)
     prog = pore_3d.build(cfg)
     nf, ns = cfg.n_fields, len(cfg.species)
     s2 = np.unique(
         prog.mesh.facets[prog.mesh.facet_markers == pore_3d.S2].reshape(-1))
 
     def bc_of_theta(theta):
-        bc = prog.bc.set_value_masked(prog.s1_verts, prog.idx["CO2"],
-                                      theta["co2_s1"])
-        return bc.set_value_masked(s2, ns, theta["voltage"])
+        bc = prog.bc.arith()
+        bc = bc.set_value_arith(prog.s1_verts, prog.idx["CO2"],
+                                theta["co2_s1"])
+        return bc.set_value_arith(s2, ns, theta["voltage"])
 
     newton = dataclasses.replace(cfg.newton, loop="while")
     step = make_implicit_step(prog.space, prog.form, newton, cfg.linear,
                               bc_of_theta=bc_of_theta)
 
-    def run(u0, voltages):
-        def single(u0_l, voltage):
-            def body(carry, i):
-                u, extra = carry
-                th = prog._theta_of_carry((u, extra), i)
-                th["voltage"] = voltage
-                u_new, st = step(u, th)
-                return (u_new, extra), st.newton_iters
+    def single(u0_l, voltage):
+        def body(carry, i):
+            u, extra = carry
+            th = prog._theta_of_carry((u, extra), i)
+            th["voltage"] = voltage
+            u_new, st = step(u, th)
+            return (u_new, extra), st.newton_iters
 
-            (u, _), iters = jax.lax.scan(
-                body, (u0_l, jnp.asarray(0.0)), jnp.arange(N_STEPS))
-            return u, iters
-
-        return jax.vmap(single)(u0, voltages)
+        (u, _), iters = jax.lax.scan(
+            body, (u0_l, jnp.asarray(0.0)), jnp.arange(N_STEPS))
+        return u, iters
 
     u0 = jnp.ones((prog.space.num_vertices, nf)).at[:, ns].set(0.0)
-    u0v = jnp.stack([u0] * lanes)
     volts = jnp.asarray(np.linspace(-1.0, -2.5, lanes))
-    key = (f"pore3d_sweep/gen324/N{prog.space.num_vertices}"
-           f"/steps{N_STEPS}x{lanes}/slab/v5")
-    return run, (u0v, volts), key, prog.space.num_vertices
+    key = (f"pore3d_sweep/L50R5/N{prog.space.num_vertices}"
+           f"/steps{N_STEPS}x{lanes}/slab-arith-host/{VER}")
+    return single, (u0, volts), key, prog.space.num_vertices
+
+
+def _timed_sweep_host(single, u0, volts, device, reps=REPS):
+    """Host-chunked sweep timing: AOT-compile the single-lane program
+    once (voltage is a traced argument), then per rep execute every lane
+    and fetch each lane's checksum; median over reps."""
+    import jax
+
+    u0d = jax.device_put(u0, device)
+    voltsd = [jax.device_put(v, device) for v in np.asarray(volts)]
+    compiled = jax.jit(single).lower(u0d, voltsd[0]).compile()
+    n_newton = 0
+    for v in voltsd:                       # warm-up, all lanes
+        out, iters = compiled(u0d, v)
+        chk = float(abs(out).sum())
+        assert np.isfinite(chk), "non-finite sweep lane"
+        n_newton += int(np.asarray(iters).sum())
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for v in voltsd:
+            out, iters = compiled(u0d, v)
+            float(abs(out).sum())
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts)), float(np.std(ts)), n_newton
 
 
 def _timed_run(run, args, device, reps=REPS):
@@ -184,7 +300,8 @@ def _timed_run(run, args, device, reps=REPS):
 
 
 def _cpu_seconds(run, args, key):
-    """Same compiled program on the host CPU backend (cached by key)."""
+    """Same compiled program on the host CPU backend — SAME median-of-REPS
+    protocol as the accelerator measurement (cached by key+version)."""
     import jax
 
     cache = {}
@@ -196,11 +313,31 @@ def _cpu_seconds(run, args, key):
     if cache.get(key) is not None:
         return float(cache[key])
     cpu = jax.devices("cpu")[0]
-    t, _, _ = _timed_run(run, args, cpu, reps=1)
+    t, _, _ = _timed_run(run, args, cpu, reps=REPS)
     cache[key] = t
     with open(_CPU_CACHE, "w") as f:
         json.dump(cache, f, indent=1)
     return t
+
+
+def _transient_record(build, per_key, accel):
+    run, args, key, denom = build()
+    t, t_std, n_newton = _timed_run(run, args, accel)
+    rec = {
+        per_key: round(t / denom * 1e3, 3),
+        "ms_per_newton_iter": round(t / max(n_newton, 1) * 1e3, 3),
+        "newton_iters": n_newton,
+        "spread_ms": round(t_std / denom * 1e3, 3),
+        "reps": REPS,
+        "key": key,
+    }
+    try:
+        t_cpu = _cpu_seconds(run, args, key)
+        rec["vs_baseline"] = round(t_cpu / t, 3)
+        rec[f"cpu_{per_key}"] = round(t_cpu / denom * 1e3, 3)
+    except Exception as e:
+        rec["cpu_error"] = f"{type(e).__name__}: {e}"
+    return rec
 
 
 def _child(config: str) -> dict:
@@ -216,70 +353,85 @@ def _child(config: str) -> dict:
     accel = jax.devices()[0]
 
     if config == "pore":
-        run_p, u0_p, key_p, N = _build_pore()
-        t_tpu, t_std, n_newton = _timed_run(run_p, u0_p, accel)
-        rec = {
-            "mesh_nodes": N,
-            "ms_per_step": round(t_tpu / N_STEPS * 1e3, 2),
-            "ms_per_newton_iter": round(t_tpu / max(n_newton, 1) * 1e3, 2),
-            "newton_iters": n_newton,
-            "spread_ms": round(t_std / N_STEPS * 1e3, 2),
-            "reps": REPS,
-        }
-        try:
-            t_cpu = _cpu_seconds(run_p, u0_p, key_p)
-            rec["vs_baseline"] = round(t_cpu / t_tpu, 3)
-            rec["cpu_ms_per_step"] = round(t_cpu / N_STEPS * 1e3, 2)
-        except Exception as e:
-            rec["cpu_error"] = f"{type(e).__name__}: {e}"
+        rec = _transient_record(_build_pore, "ms_per_step", accel)
+        rec["mesh_nodes"] = 3679
+        return rec
+
+    if config == "rxn3d":
+        rec = _transient_record(_build_rxn3d, "ms_per_step", accel)
+        rec["mesh_nodes"] = 3679
+        return rec
+
+    if config == "edl":
+        return _transient_record(_build_edl, "ms_per_step", accel)
+
+    if config == "rxn1d":
+        rec = _transient_record(_build_rxn1d, "ms_per_step", accel)
+        rec["mesh_nodes"] = 5991
+        return rec
+
+    if config == "edl_sweep":
+        lanes = 8
+        rec = _transient_record(lambda: _build_edl_sweep(lanes),
+                                "ms_per_lane_step", accel)
+        rec["lanes"] = lanes
         return rec
 
     if config == "sweep":
         lanes = 4
-        run_s, args_s, key_s, N_s = _build_pore_sweep(lanes)
-        t_s, t_s_std, n_newton_s = _timed_run(run_s, args_s, accel)
-        lane_steps = N_STEPS * lanes
+        single, (u0, volts), key, N = _build_pore_sweep(lanes)
+        lane_steps = lanes * N_STEPS
+        t, t_std, n_newton = _timed_sweep_host(single, u0, volts, accel)
         rec = {
+            "ms_per_lane_step": round(t / lane_steps * 1e3, 3),
+            "ms_per_newton_iter": round(t / max(n_newton, 1) * 1e3, 3),
+            "newton_iters": n_newton,
+            "spread_ms": round(t_std / lane_steps * 1e3, 3),
+            "reps": REPS,
+            "key": key,
             "lanes": lanes,
-            "mesh_nodes": N_s,
-            "ms_per_lane_step": round(t_s / lane_steps * 1e3, 2),
-            "newton_iters": n_newton_s,
-            "spread_ms": round(t_s_std / lane_steps * 1e3, 2),
+            "mesh_nodes": N,
+            "mode": "host-chunked (one compiled program, executed per "
+                    "lane; see _build_pore_sweep docstring)",
         }
         try:
-            t_cpu_s = _cpu_seconds(run_s, args_s, key_s)
-            rec["vs_baseline"] = round(t_cpu_s / t_s, 3)
-            rec["cpu_ms_per_lane_step"] = round(
-                t_cpu_s / lane_steps * 1e3, 2)
+            cache = {}
+            if os.path.exists(_CPU_CACHE):
+                try:
+                    cache = json.load(open(_CPU_CACHE))
+                except Exception:
+                    cache = {}
+            if cache.get(key) is not None:
+                t_cpu = float(cache[key])
+            else:
+                cpu = jax.devices("cpu")[0]
+                t_cpu, _, _ = _timed_sweep_host(single, u0, volts, cpu)
+                cache[key] = t_cpu
+                with open(_CPU_CACHE, "w") as f:
+                    json.dump(cache, f, indent=1)
+            rec["vs_baseline"] = round(t_cpu / t, 3)
+            rec["cpu_ms_per_lane_step"] = round(t_cpu / lane_steps * 1e3, 3)
         except Exception as e:
             rec["cpu_error"] = f"{type(e).__name__}: {e}"
         return rec
 
-    if config == "edl":
-        run_e, u0_e, key_e, n_e = _build_edl()
-        t_tpu_e, t_std_e, n_newton_e = _timed_run(run_e, u0_e, accel)
-        rec = {
-            "ms_per_step": round(t_tpu_e / n_e * 1e3, 3),
-            "ms_per_newton_iter": round(
-                t_tpu_e / max(n_newton_e, 1) * 1e3, 3),
-            "newton_iters": n_newton_e,
-            "spread_ms": round(t_std_e / n_e * 1e3, 3),
-        }
-        try:
-            t_cpu_e = _cpu_seconds(run_e, u0_e, key_e)
-            rec["vs_baseline"] = round(t_cpu_e / t_tpu_e, 3)
-            rec["cpu_ms_per_step"] = round(t_cpu_e / n_e * 1e3, 3)
-        except Exception as e:
-            rec["cpu_error"] = f"{type(e).__name__}: {e}"
-        return rec
+    if config == "stern":
+        # host-side post-solve (config 3): closed-form BDM + linear model
+        # over the 5-voltage published table (1D/Stern_CO2ER.py:179-180)
+        from gmpnp_tpu.models import stern
+
+        t0 = time.perf_counter()
+        out = stern.run(write=False, make_plots=False)
+        dt = time.perf_counter() - t0
+        return {"ms_total": round(dt * 1e3, 2), "voltages": len(out),
+                "note": "host-side post-processor; no TPU path"}
 
     raise ValueError(config)
 
 
 def main():
     """Each config runs in its own subprocess: a TPU worker crash in one
-    (e.g. an OOM-ing sweep kernel) cannot take down the others — the
-    2026-08-17 bench run lost the edl1d number to a sweep-config fault."""
+    (e.g. an OOM-ing sweep kernel) cannot take down the others."""
     import subprocess
     import sys
 
@@ -287,10 +439,17 @@ def main():
         print("BENCHCFG" + json.dumps(_child(sys.argv[2])))
         return
 
+    only = sys.argv[1:] or None
     extra = {}
     for name, key, timeout in (("pore", "pore3d", 3000),
+                               ("rxn3d", "pore3d_rxndiff", 3000),
                                ("edl", "edl1d", 2000),
-                               ("sweep", "pore3d_sweep", 3000)):
+                               ("rxn1d", "rxndiff1d", 2400),
+                               ("edl_sweep", "edl1d_sweep", 2400),
+                               ("sweep", "pore3d_sweep", 3600),
+                               ("stern", "stern", 300)):
+        if only and name not in only:
+            continue
         try:
             p = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
@@ -307,13 +466,18 @@ def main():
             extra[key] = {"error": f"{type(e).__name__}: {str(e)[:400]}"}
 
     pore = extra.get("pore3d", {})
-    print(json.dumps({
+    out = {
         "metric": "pore3d_gmpnp_transient_step_L50R5",
         "value": pore.get("ms_per_step"),
         "unit": "ms/step",
         "vs_baseline": pore.get("vs_baseline"),
         "extra": extra,
-    }))
+    }
+    if "error" in pore or pore.get("ms_per_step") is None:
+        # ADVICE r2: consumers must be able to tell "failed" from
+        # "measured null"
+        out["error"] = pore.get("error", "headline config not measured")
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

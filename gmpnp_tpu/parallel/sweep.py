@@ -11,6 +11,14 @@ sweeps can additionally be sharded over devices).
 Cation sweeps change compile-time constants (diffusivities, ion sizes), so
 they run as an outer Python loop over at most four cached compilations, each
 vmapped over the voltage axis.
+
+Sweeps CHUNK the lane axis (``chunk`` parameter, auto by default): vmap
+batches lanes only while a single lane underutilizes the chip; at
+reference 3D mesh size one lane saturates it, batched lanes lose
+(lockstep Newton trip counts + VMEM spill), and any 4+-replica program
+faults the tunneled worker outright — so large meshes run HOST-chunked:
+one compiled single-lane program executed per lane (see _auto_chunk /
+probes/probe_r3_p.py).
 """
 
 from __future__ import annotations
@@ -24,6 +32,59 @@ import numpy as np
 
 from gmpnp_tpu.models import edl_1d, pore_3d
 from gmpnp_tpu.solve.timeloop import make_implicit_step
+
+
+def _auto_chunk(lanes: int, num_vertices: int) -> int:
+    """Lanes per batched chunk (0 = host-chunked, see _run_lanes).
+
+    Batching lanes only wins while one lane underutilizes the chip.  At
+    reference 3D mesh size (N=3,679) a single lane already saturates it:
+    2-lane vmap measured 3,030 ms/lane-step vs 804 ms single-lane (7.5x
+    the per-step total: lockstep while-loop trip counts + VMEM spill of
+    the batched slab factorization).  Worse, ANY single program holding
+    4+ transient replicas crashes the tunneled TPU worker on execution —
+    vmap-4, lax.map-4 (fully sequential), and map-of-vmap-2 all fault,
+    independent of the lane voltages, while every 1- and 2-lane shape
+    passes (probes/probe_r3_n.py / probe_r3_p.py / probe_q chain).  So
+    large meshes run HOST-chunked: one compiled single-lane program (the
+    voltage is a traced argument), executed once per lane.  Small meshes
+    are the opposite: the 925-node sweep ran 6.6x faster vmapped
+    (round 2) — full vmap under ~2k vertices.
+    """
+    return lanes if num_vertices < 2000 else 0
+
+
+def _run_lanes(single, volts, chunk: int):
+    """Run ``single(voltage) -> ys`` over all sweep lanes.
+
+    chunk >= lanes: one vmapped program.  1 <= chunk < lanes: lax.map
+    over vmap-``chunk`` batches in one program (lanes padded to a chunk
+    multiple with the last voltage, pad dropped).  chunk == 0: HOST
+    chunking — jit ``single`` once (the voltage is a traced argument, so
+    all lanes share the compile) and execute per lane, stacking on host;
+    the only mode that runs 4+ reference-scale lanes on the tunneled
+    worker (see _auto_chunk), and the fastest per lane there anyway
+    (~950 vs 3,030 ms/lane-step batched).
+    """
+    lanes = volts.shape[0]
+    if chunk == 0:
+        fn = jax.jit(single)
+        outs = [fn(v) for v in volts]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
+    if chunk >= lanes:
+        return jax.jit(jax.vmap(single))(volts)
+    if chunk == 1:
+        return jax.jit(lambda v: jax.lax.map(single, v))(volts)
+    pad = (-lanes) % chunk
+    volts_p = jnp.concatenate([volts, jnp.broadcast_to(volts[-1:], (pad,))])
+
+    def mapped(vc):
+        ys = jax.lax.map(lambda v: jax.vmap(single)(v), vc)
+        return jax.tree.map(
+            lambda a: a.reshape((-1,) + tuple(a.shape[2:])), ys)
+
+    ys = jax.jit(mapped)(volts_p.reshape(-1, chunk))
+    return jax.tree.map(lambda a: a[:lanes], ys)
 
 
 def _sweep_newton(newton):
@@ -44,9 +105,12 @@ def run_edl_voltage_sweep(
     cfg: "edl_1d.EDL1DConfig",
     voltages: Sequence[float],
     n_steps: Optional[int] = None,
+    chunk: Optional[int] = None,
 ):
     """Batched 1D EDL solve over OHP voltage multipliers.
 
+    chunk: lanes vmapped per batch (None = auto, see _auto_chunk;
+    remaining chunks run sequentially via lax.map in the same program).
     Returns (u_hist (V, steps, N, 7), stats batched over V).
     """
     prog = edl_1d.build(cfg)
@@ -81,13 +145,17 @@ def run_edl_voltage_sweep(
         (_, chf), ys = jax.lax.scan(body, (u0, chf0), jnp.arange(n))
         return ys
 
-    return jax.jit(jax.vmap(single))(jnp.asarray(voltages, jnp.float64))
+    volts = jnp.asarray(voltages, jnp.float64)
+    if chunk is None:
+        chunk = _auto_chunk(len(voltages), prog.space.num_vertices)
+    return _run_lanes(single, volts, chunk)
 
 
 def run_pore_voltage_sweep(
     cfg: "pore_3d.Pore3DConfig",
     voltages: Sequence[float],
     n_steps: Optional[int] = None,
+    chunk: Optional[int] = None,
 ):
     """Batched 3D GMPNP pore solve over wall voltage multipliers — the
     BASELINE config-5 sweep (voltage x cation; cation varies via an outer
@@ -129,7 +197,10 @@ def run_pore_voltage_sweep(
         _, ys = jax.lax.scan(body, (u0, jnp.asarray(0.0)), jnp.arange(n))
         return ys
 
-    return jax.jit(jax.vmap(single))(jnp.asarray(voltages, jnp.float64))
+    volts = jnp.asarray(voltages, jnp.float64)
+    if chunk is None:
+        chunk = _auto_chunk(len(voltages), prog.space.num_vertices)
+    return _run_lanes(single, volts, chunk)
 
 
 def run_pore_voltage_cation_sweep(
@@ -137,11 +208,13 @@ def run_pore_voltage_cation_sweep(
     voltages: Sequence[float],
     cations: Sequence[str] = ("K",),
     n_steps: Optional[int] = None,
+    chunk: Optional[int] = None,
 ) -> Dict[str, tuple]:
     """voltage x cation sweep: vmapped voltages inside a cached-compile
     cation loop (cation changes baked constants)."""
     out = {}
     for cat in cations:
         c = dataclasses.replace(cfg, cation=cat)
-        out[cat] = run_pore_voltage_sweep(c, voltages, n_steps=n_steps)
+        out[cat] = run_pore_voltage_sweep(c, voltages, n_steps=n_steps,
+                                          chunk=chunk)
     return out
