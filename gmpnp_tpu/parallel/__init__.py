@@ -9,11 +9,20 @@ The reference's two parallelism modes (SURVEY.md §2c) map as:
 """
 
 from gmpnp_tpu.parallel.sweep import run_edl_voltage_sweep, run_pore_voltage_sweep
-from gmpnp_tpu.parallel.shard import ZShardPlan, make_sharded_transient
+from gmpnp_tpu.parallel.shard import (
+    SlabPrecondPlan,
+    ZShardPlan,
+    make_sharded_pore_transient,
+    make_sharded_step,
+    make_sharded_transient,
+)
 
 __all__ = [
     "run_edl_voltage_sweep",
     "run_pore_voltage_sweep",
+    "SlabPrecondPlan",
     "ZShardPlan",
+    "make_sharded_pore_transient",
+    "make_sharded_step",
     "make_sharded_transient",
 ]

@@ -27,17 +27,19 @@ SPMD step primitives:
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, replace as _dc_replace
 from functools import partial
-from typing import Dict, Tuple
+from typing import Callable, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from gmpnp_tpu.fem.assembly import _segment_reduce, _sorted_segment_tables
 from gmpnp_tpu.fem.elements import physical_gradients, simplex_quadrature
 from gmpnp_tpu.fem.forms import WeakForm
+from gmpnp_tpu.solve.slab import slab_factor, slab_solve
 from gmpnp_tpu.solve.smallblock import block_inv
 from gmpnp_tpu.mesh.core import (
     Mesh as FemMesh,
@@ -71,13 +73,53 @@ class ZShardPlan:
     bc_vals: np.ndarray
     # owned-node validity (padding rows false), (n_dev, N_p)
     valid: np.ndarray
+    # z-sort permutation: plan vertex i is original vertex perm[i] (identity
+    # when the mesh is already sorted, e.g. generated cylinder meshes)
+    perm: np.ndarray
+
+    def localize(self, u: np.ndarray) -> np.ndarray:
+        """(N, ...) original vertex order -> (n_dev*N_p, ...) plan order,
+        zero-padded."""
+        u = np.asarray(u)
+        out = np.zeros((self.n_dev * self.N_p,) + u.shape[1:], u.dtype)
+        out[: self.N] = u[self.perm]
+        return out
+
+    def globalize(self, u_pad) -> np.ndarray:
+        """(n_dev*N_p, ...) plan order -> (N, ...) original vertex order."""
+        u_pad = np.asarray(u_pad)
+        out = np.empty((self.N,) + u_pad.shape[1:], u_pad.dtype)
+        out[self.perm] = u_pad[: self.N]
+        return out
 
     @staticmethod
     def build(mesh: FemMesh, n_fields: int, n_dev: int,
               bc_mask: np.ndarray, bc_vals: np.ndarray,
               quad_degree: int = 2):
-        """mesh must already be sorted ascending in its last coordinate
-        (use reorder_by_coordinate); bc_mask/vals are global (N, f)."""
+        """bc_mask/vals are global (N, f) in the mesh's vertex order.
+
+        The z-slab partition needs vertices numbered ascending in the last
+        coordinate; the SHIPPED reference meshes are not (their DOLFIN-XML
+        ordering has z-bandwidth ~N/2, which round-3 found silently
+        produced halo = slab and crashed XLA:CPU at N=3530).  The plan
+        therefore z-sorts internally and records ``perm``; use
+        ``localize``/``globalize`` to move between orderings."""
+        z = mesh.points[:, -1]
+        if np.any(np.diff(z) < 0):
+            perm = np.argsort(z, kind="stable")
+            inv = np.empty_like(perm)
+            inv[perm] = np.arange(len(perm))
+            mesh = _dc_replace(
+                mesh,
+                points=mesh.points[perm],
+                cells=inv[mesh.cells].astype(np.int32),
+                facets=(inv[mesh.facets].astype(np.int32)
+                        if mesh.facets is not None else None),
+            )
+            bc_mask = np.asarray(bc_mask)[perm]
+            bc_vals = np.asarray(bc_vals)[perm]
+        else:
+            perm = np.arange(mesh.num_vertices)
         dim = mesh.dim
         nv = dim + 1
         N = mesh.num_vertices
@@ -146,13 +188,164 @@ class ZShardPlan:
             cells_l=cells_l, vols=vols, gradN=gradN,
             Nq=rule.shape, wq=rule.weights,
             facets=facets,
-            bc_mask=pad_nodes(bc_mask.astype(bool), False),
-            bc_vals=pad_nodes(bc_vals.astype(np.float64)),
+            bc_mask=pad_nodes(np.asarray(bc_mask).astype(bool), False),
+            bc_vals=pad_nodes(np.asarray(bc_vals).astype(np.float64)),
             valid=valid,
+            perm=perm,
         )
 
 
-def make_sharded_transient(
+@dataclass(frozen=True)
+class SlabPrecondPlan:
+    """Host-side tables for the per-device z-slab direct preconditioner.
+
+    Distributes the production slab solver (solve.slab — the MUMPS-slot
+    replacement) across the device mesh as a block-Jacobi-over-devices
+    preconditioner with an EXACT banded direct solve per device: each
+    device assembles its owned-rows block-banded Jacobian from its element
+    blocks (scatter-free sorted-segment reduction), equilibrates it with
+    the exact spill-reduced block diagonal, factors it with f32
+    block-Thomas on the MXU, and applies it locally (zero communication
+    per application — the Krylov matvec carries all inter-device
+    coupling).  Round 1/2's sharded path ran plain block-Jacobi BiCGStab
+    (2,834 Krylov iterations on the dryrun mesh); this brings the sharded
+    inner solve to the same O(10)-iteration regime as the single-chip
+    slab_direct path (VERDICT r2 item 2).
+
+    The local system is the RESTRICTED ADDITIVE SCHWARZ (RAS-1) extension:
+    each device factors its owned rows PLUS one overlap slab — the right
+    neighbor's first ``m_v`` rows — and discards the overlap part of the
+    solution after each apply.  The overlap is what keeps the
+    preconditioner strong when the halo is a sizeable fraction of the
+    slab: the non-overlapping variant (round-3 first cut) needed ~200
+    Krylov iterations per Newton at halo/N_p ≈ 0.2 and maxed out the
+    iteration budget at halo ≈ slab (the dryrun mesh), because every
+    dropped (owned row ↔ halo column) coupling sits exactly on the
+    decomposition seam.  Boundary-facet Jacobian contributions are still
+    omitted from the band (they only perturb the preconditioner, never
+    the Krylov system).  Cross-device row CONTRIBUTIONS are fully
+    assembled: the extended band's last row-block (rows owned by the
+    right neighbor) is exchanged ppermute-right to complete the
+    neighbor's owned rows, and its own-rows head block ppermute-left to
+    complete this device's overlap slab.  (Round-3 finding: identity
+    fallback rows on the seam make the f32 band inconsistent enough to
+    break down the Krylov solve, probes/probe_r3_g.py.)
+
+    Layout: extended positions 0..(S+1)*m_v; local vertex id r maps to
+    position r for owned rows (padding positions N_p..S*m_v are identity
+    rows inside the last owned slab) and to S*m_v + (r - N_p) for
+    overlap rows.  ``m_v`` is chosen with m_v >= bw + pad so that EVERY
+    element coupling lands within one slab of its row (|band| <= 1) —
+    including owned-row -> overlap-column couplings across the padding
+    gap.
+    """
+
+    S: int           # owned slabs per device (extended system has S+1)
+    m_v: int         # vertices per slab
+    f: int
+    N_p: int
+    # per-device sorted-segment tables over extended band destinations
+    order: np.ndarray   # (n_dev, C_p*nv*nv) int32
+    start: np.ndarray   # (n_dev, (S+1)*m_v*3*m_v) int32
+    end: np.ndarray     # (n_dev, (S+1)*m_v*3*m_v) int32
+    # extended-position coverage: True = some element assembles this row
+    # (own elements, left-neighbor spill, or — for the overlap slab — the
+    # right neighbor's own elements); uncovered -> identity row
+    cover: np.ndarray   # (n_dev, (S+1)*m_v) bool
+    # static ident mask of the overlap rows (right neighbor's Dirichlet/
+    # padding rows; all True on the last device — ring wraparound rows
+    # are factored as identity and discarded by the RAS restriction)
+    ident_ov: np.ndarray  # (n_dev, m_v, f) bool
+
+    @property
+    def m(self) -> int:
+        return self.m_v * self.f
+
+    @staticmethod
+    def build(plan: ZShardPlan) -> "SlabPrecondPlan":
+        n_dev, N_p, f = plan.n_dev, plan.N_p, plan.n_fields
+        cells_l = np.asarray(plan.cells_l)          # (n_dev, C_p, nv)
+        n_dev_, C_p, nv = cells_l.shape
+
+        # local bandwidth over element couplings; m_v >= bw makes the
+        # extended system block tridiagonal in slabs (solve.slab)
+        span = cells_l.max(axis=2) - cells_l.min(axis=2)    # (n_dev, C_p)
+        bw = max(1, int(span.max(initial=0)))
+        if bw > N_p:
+            raise ValueError(
+                f"element bandwidth {bw} exceeds slab size {N_p}: too "
+                f"many devices for this mesh")
+        m_v = min(max(bw, 1), N_p)
+        S = max(-(-N_p // m_v), 1)
+        m_v = min(max(-(-N_p // S), bw), N_p)
+        # m_v < bw silently drops couplings from the band (round-3 root
+        # cause of the n_dev=2 divergence: N_p=162, bw=36 rounded m_v
+        # down to 33, probes/probe_r3_j.py); RAS further needs
+        # m_v >= bw + pad so couplings that jump the padding gap into the
+        # overlap slab stay within |band| <= 1
+        while S * m_v - N_p > m_v - bw:
+            m_v += 1
+            S = max(-(-N_p // m_v), 1)
+        pad = S * m_v - N_p
+        assert 0 <= pad <= m_v - bw and m_v <= N_p
+        E = (S + 1) * m_v
+        n_dest = E * 3 * m_v
+
+        orders = np.zeros((n_dev, C_p * nv * nv), np.int32)
+        starts = np.zeros((n_dev, n_dest), np.int32)
+        ends = np.zeros((n_dev, n_dest), np.int32)
+        cover = np.zeros((n_dev, E), bool)
+        ident_ov = np.ones((n_dev, m_v, f), bool)
+        vols = np.asarray(plan.vols)                        # (n_dev, C_p)
+        bc_mask = np.asarray(plan.bc_mask)                  # (n_dev, N_p, f)
+        valid = np.asarray(plan.valid)                      # (n_dev, N_p)
+
+        def pos_of(idx):
+            return np.where(idx < N_p, idx, S * m_v + (idx - N_p))
+
+        for p in range(n_dev):
+            c = cells_l[p].astype(np.int64)
+            real = vols[p] > 0                              # padding cells
+            cov = np.unique(c[real])
+            cover[p, pos_of(cov)] = True
+        for p in range(n_dev):
+            # own rows also covered via the left neighbor's spill
+            # exchange; overlap rows via the right neighbor's own
+            # elements (element owner = min-vertex device and span <= bw
+            # <= m_v, so no device beyond the two neighbors contributes)
+            if p > 0:
+                cl = cells_l[p - 1].astype(np.int64)
+                spill = np.unique(cl[vols[p - 1] > 0])
+                spill = spill[spill >= N_p] - N_p
+                cover[p, spill[spill < N_p]] = True
+            if p < n_dev - 1:
+                cr = cells_l[p + 1].astype(np.int64)
+                covr = np.unique(cr[vols[p + 1] > 0])
+                covr = covr[covr < m_v]
+                cover[p, S * m_v + covr] = True
+                ident_ov[p] = bc_mask[p + 1, :m_v] | ~valid[p + 1, :m_v,
+                                                            None]
+        # per-device extended band destination tables from OWN cells: all
+        # element couplings are in range (ids < N_p + H <= N_p + m_v) and
+        # within |band| <= 1 by the m_v >= bw + pad constraint
+        for p in range(n_dev):
+            c = cells_l[p].astype(np.int64)
+            r = np.repeat(c[:, :, None], nv, 2).reshape(-1)   # row of (c,a,b)
+            q = np.repeat(c[:, None, :], nv, 1).reshape(-1)   # col
+            pr, pq = pos_of(r), pos_of(q)
+            s_r, i_r = pr // m_v, pr % m_v
+            s_q, i_q = pq // m_v, pq % m_v
+            band = s_q - s_r
+            assert (np.abs(band) <= 1).all(), "band overflow: bad m_v"
+            dest = (s_r * m_v + i_r) * (3 * m_v) + (band + 1) * m_v + i_q
+            o, st, en = _sorted_segment_tables(dest, n_dest)
+            orders[p], starts[p], ends[p] = o, st, en
+        return SlabPrecondPlan(S=S, m_v=m_v, f=f, N_p=N_p,
+                               order=orders, start=starts, end=ends,
+                               cover=cover, ident_ov=ident_ov)
+
+
+def make_sharded_step(
     plan: ZShardPlan,
     form: WeakForm,
     mesh_devices,
@@ -162,15 +355,40 @@ def make_sharded_transient(
     relaxation: float = 0.9,
     krylov_tol: float = 1.0e-6,
     krylov_maxiter: int = 2000,
+    krylov_restart: int = 30,
     axis_name: str = "z",
+    linear: str = "slab_direct",
+    bc_lifts: Optional[Sequence[Tuple[np.ndarray, str]]] = None,
+    jit: bool = True,
 ):
-    """Build a jit-compiled sharded transient step.
+    """Build a sharded implicit step.
 
     Returns (step_fn, device_mesh, u_sharding) with
-    ``step_fn(u_sharded (n_dev*N_p, f), theta) -> (u_new, stats)`` running
-    Newton + block-Jacobi BiCGStab fully inside shard_map.
+    ``step_fn(u_sharded (n_dev*N_p, f), up_sharded, theta) -> (u_new,
+    (iters, converged, resnorm, lin_iters))`` running damped Newton fully
+    inside one shard_map.
+
+    linear: 'slab_direct' (default) runs distributed f64 CGS2-GMRES
+    preconditioned by a per-device RAS-1 f32 block-Thomas factorization
+    of the extended (owned + 1 overlap slab) banded Jacobian (see
+    SlabPrecondPlan) — the distributed form of the production solve.slab
+    solver; 'bicgstab_jacobi' keeps the round-1 block-Jacobi BiCGStab.
+
+    bc_lifts: optional static (N_pad, f) one-hot masks paired with theta
+    keys; per step the Dirichlet VALUES become
+    ``vals*(1-onehot) + theta[key]*onehot`` (pure arithmetic — the
+    vmap/sweep-safe BC formulation, fem.dirichlet.ArithDirichletBC), which
+    is how the moving Sechenov CO2 Dirichlet value
+    (3D/MPNP_CO2ER_pore.py:815-838) enters the sharded transient without
+    recompilation.
     """
+    if linear not in ("slab_direct", "bicgstab_jacobi"):
+        raise ValueError(f"unknown sharded linear solver {linear!r}; "
+                         f"'slab_direct' or 'bicgstab_jacobi'")
     n_dev, N_p, H, nf = plan.n_dev, plan.N_p, plan.H, plan.n_fields
+    pp = SlabPrecondPlan.build(plan) if linear == "slab_direct" else None
+    bc_lifts = list(bc_lifts or [])
+    lift_keys = [k for _, k in bc_lifts]
     dev_mesh = Mesh(np.array(mesh_devices).reshape(n_dev), (axis_name,))
     u_sharding = NamedSharding(dev_mesh, P(axis_name))
 
@@ -319,7 +537,99 @@ def make_sharded_transient(
         D = jnp.where(ident_rows[:, :, None] & (eye[None] == 0), 0.0, D)
         return block_inv(D)
 
-    def bicgstab_sharded(matvec, Minv, b):
+    def make_local_slab_precond(J_e, Dinv_blocks, ident_rows,
+                                order_t, start_t, end_t,
+                                cover_t, identov_t):
+        """Per-device RAS-1 banded direct preconditioner (see
+        SlabPrecondPlan): assemble the extended (owned + one overlap
+        slab) band from element blocks (sorted-segment reduction, no
+        scatter), exchange the two seam row-blocks with the neighbors
+        (two ppermutes per Newton iteration), equilibrate with the exact
+        block diagonal, factor f32 block-Thomas, apply locally with one
+        rhs ppermute and restrict to owned rows."""
+        S, m_v, m = pp.S, pp.m_v, pp.m
+        pad = S * m_v - N_p
+        f = nf
+        fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+        bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+        mid = slice(m_v, 2 * m_v)
+        vals = J_e.reshape(-1, f * f)
+        bsum = _segment_reduce(vals, order_t, start_t, end_t)
+        B4 = bsum.reshape(S + 1, m_v, 3 * m_v, f, f)
+        # Seam exchange (middle thirds are the only parts in the
+        # receiver's column coordinates; the rest is RAS truncation):
+        # - row-block S = this device's contributions to the RIGHT
+        #   neighbor's rows [0, m_v) -> send right, completes its owned
+        #   head rows (the last device's block is zero: its halo is
+        #   padding, so the ring wraparound to device 0 carries zeros)
+        # - row-block 0 (own elements only, pre-exchange) -> send left,
+        #   completes the LEFT neighbor's overlap slab
+        recv_r = jax.lax.ppermute(B4[S, :, mid], axis_name, fwd)
+        recv_l = jax.lax.ppermute(B4[0, :, mid], axis_name, bwd)
+        B4 = B4.at[0, :, mid].add(recv_r).at[S, :, mid].add(recv_l)
+        # equilibration diagonal: own rows use this device's exact
+        # (facet-inclusive, row-replaced) Dinv; overlap rows the right
+        # neighbor's head blocks (one more small ppermute per Newton)
+        Dv_ov = jax.lax.ppermute(Dinv_blocks[:m_v], axis_name, bwd)
+        Dv = Dinv_blocks
+        identm = ident_rows | (~cover_t[:N_p])[:, None]
+        identp = ident_rows
+        if pad:
+            Dv = jnp.concatenate(
+                [Dv, jnp.broadcast_to(jnp.eye(f), (pad, f, f))], axis=0)
+            identm = jnp.concatenate(
+                [identm, jnp.ones((pad, f), bool)], axis=0)
+            identp = jnp.concatenate(
+                [identp, jnp.ones((pad, f), bool)], axis=0)
+        # overlap slab: static ident mask + coverage fallback
+        identm_ov = identov_t | (~cover_t[S * m_v:])[:, None]
+        identm = jnp.concatenate([identm, identm_ov], axis=0)
+        identp = jnp.concatenate([identp, identov_t], axis=0)
+        Dv = jnp.concatenate([Dv, Dv_ov], axis=0).reshape(
+            S + 1, m_v, f, f)
+        # Row-replace ident (Dirichlet/invalid) FIELD rows in the band
+        # BEFORE equilibrating: Dinv_blocks is the inverse of the
+        # ROW-REPLACED diagonal, so equilibrating the raw band would mix
+        # the ORIGINAL ident rows of A (which the Krylov system replaced
+        # with identity) into non-ident rows — an inconsistent system
+        # (probes/probe_r3_e.py: 0.77 rel err vs the reference solve; the
+        # fixed ordering is exact to 1e-14 / 3e-8 in f32).
+        identp4 = identp.reshape(S + 1, m_v, f)
+        diag_onehot = np.zeros((m_v, 3 * m_v))
+        diag_onehot[np.arange(m_v), m_v + np.arange(m_v)] = 1.0
+        B4 = jnp.where(identp4[:, :, None, :, None], 0.0, B4)
+        B4 = B4 + (identp4[:, :, None, :, None]
+                   * diag_onehot[None, :, :, None, None]
+                   * jnp.eye(f)[None, None, None])
+        # block-row equilibration (keeps the f32 bands well ranged,
+        # solve.slab.slab_prepare)
+        B4 = jnp.einsum("sirt,sijtg->sijrg", Dv, B4)
+        B = B4.transpose(0, 1, 3, 2, 4).reshape(S + 1, m, 3 * m)
+        eye_band = jnp.concatenate(
+            [jnp.zeros((m, m)), jnp.eye(m), jnp.zeros((m, m))], axis=1)
+        B = jnp.where(identm.reshape(S + 1, m)[:, :, None],
+                      eye_band[None], B)
+        B32 = B.astype(jnp.float32)
+        factors = slab_factor(B32[:, :, :m], B32[:, :, m:2 * m],
+                              B32[:, :, 2 * m:])
+
+        def apply(rr):
+            b = jnp.einsum("nfg,ng->nf", Dinv_blocks, rr)
+            # overlap rhs = right neighbor's equilibrated head rows (the
+            # RAS extension; one collective per application)
+            b_ov = jax.lax.ppermute(b[:m_v], axis_name, bwd)
+            if pad:
+                b = jnp.concatenate(
+                    [b, jnp.zeros((pad, f), b.dtype)], axis=0)
+            b_ext = jnp.concatenate([b, b_ov], axis=0)
+            x = slab_solve(factors,
+                           b_ext.reshape(S + 1, m).astype(jnp.float32))
+            # RAS restriction: keep owned rows, discard the overlap slab
+            return x.reshape((S + 1) * m_v, f)[:N_p].astype(rr.dtype)
+
+        return apply
+
+    def bicgstab_sharded(matvec, Minv_apply, b):
         # guards sized for TPU-emulated f64 (f32 exponent range): 1e-300
         # would underflow to 0 and produce NaN storms
         TINY = 1e-30
@@ -343,11 +653,11 @@ def make_sharded_transient(
             rho_new = pdot(rhat, r)
             beta = (rho_new / guard(rho)) * (alpha / guard(omega))
             p_ = r + beta * (p_ - omega * v)
-            phat = jnp.einsum("nfg,ng->nf", Minv, p_)
+            phat = Minv_apply(p_)
             v = matvec(phat)
             alpha = rho_new / guard(pdot(rhat, v))
             s = r - alpha * v
-            shat = jnp.einsum("nfg,ng->nf", Minv, s)
+            shat = Minv_apply(s)
             t = matvec(shat)
             omega = pdot(t, s) / guard(pdot(t, t))
             x = x + alpha * phat + omega * shat
@@ -361,15 +671,142 @@ def make_sharded_transient(
             (x, r, zeros, zeros, one, one, one, jnp.array(0, jnp.int32)))
         return st[0], st[-1]
 
+    def gmres_sharded(matvec, Minv_apply, b):
+        """Right-preconditioned restarted GMRES (CGS2 + Givens), every
+        reduction a psum — the distributed twin of solve.linear.gmres.
+
+        BiCGStab breaks down under the f32 slab-direct preconditioner on
+        the real GMPNP Jacobians (probes/probe_r3_k2.py: scipy BiCGStab
+        with the identical f32 banded apply stalls at 5e-1 relative error
+        while GMRES converges to 3e-11) — the same reason the single-chip
+        production path polishes its f32 factorization with f64 GMRES,
+        not refinement (solve/slab.py slab_direct_solve).  The Arnoldi
+        basis is distributed: each device holds its (restart+1, N_p*f)
+        rows; dots/norms psum over the mesh axis.
+        """
+        TINY = 1e-30
+        nloc = b.size
+        dtype = b.dtype
+        shape = b.shape
+        bflat = b.reshape(-1)
+        mv = lambda v: matvec(v.reshape(shape)).reshape(-1)
+        pc = lambda v: Minv_apply(v.reshape(shape)).reshape(-1)
+        pvdot = lambda a, c: jax.lax.psum(a @ c, axis_name)
+        pvnorm = lambda v: jnp.sqrt(jax.lax.psum(v @ v, axis_name))
+
+        bnorm = pvnorm(bflat)
+        target = jnp.maximum(krylov_tol * bnorm, TINY)
+        m = krylov_restart
+
+        def cycle(state):
+            x, _, total_it, _ = state
+            r = bflat - mv(x)
+            beta = pvnorm(r)
+            V = jnp.zeros((m + 1, nloc), dtype).at[0].set(
+                r / jnp.maximum(beta, TINY))
+            H = jnp.zeros((m + 1, m), dtype)
+            cs = jnp.zeros(m, dtype)
+            sn = jnp.zeros(m, dtype)
+            g = jnp.zeros(m + 1, dtype).at[0].set(beta)
+
+            def arnoldi_step(j, carry):
+                V, H, cs, sn, g, done, k = carry
+
+                def do(carry):
+                    V, H, cs, sn, g, done, k = carry
+                    w = mv(pc(V[j]))
+                    # CGS2: rows of V beyond j are zero -> no masking
+                    h1 = jax.lax.psum(V @ w, axis_name)
+                    w = w - h1 @ V
+                    h2 = jax.lax.psum(V @ w, axis_name)
+                    w = w - h2 @ V
+                    hcol = h1 + h2
+                    hlast = pvnorm(w)
+                    hcol = hcol.at[j + 1].set(hlast)
+                    V2 = V.at[j + 1].set(w / jnp.maximum(hlast, TINY))
+
+                    def rot(i, hc):
+                        hi, hip = hc[i], hc[i + 1]
+                        upd = jnp.where(
+                            i < j,
+                            jnp.array([cs[i] * hi + sn[i] * hip,
+                                       -sn[i] * hi + cs[i] * hip]),
+                            jnp.array([hi, hip]))
+                        return hc.at[i].set(upd[0]).at[i + 1].set(upd[1])
+
+                    hcol = jax.lax.fori_loop(0, m, rot, hcol)
+                    denom = jnp.sqrt(hcol[j] ** 2 + hcol[j + 1] ** 2)
+                    c = jnp.where(denom > 0,
+                                  hcol[j] / jnp.maximum(denom, TINY), 1.0)
+                    s = jnp.where(denom > 0,
+                                  hcol[j + 1] / jnp.maximum(denom, TINY),
+                                  0.0)
+                    hcol = hcol.at[j].set(
+                        c * hcol[j] + s * hcol[j + 1]).at[j + 1].set(0.0)
+                    cs2 = cs.at[j].set(c)
+                    sn2 = sn.at[j].set(s)
+                    gj = g[j]
+                    g2 = g.at[j].set(c * gj).at[j + 1].set(-s * gj)
+                    H2 = H.at[:, j].set(hcol[:m + 1])
+                    done2 = jnp.abs(g2[j + 1]) <= target
+                    return (V2, H2, cs2, sn2, g2, done2, k + 1)
+
+                return jax.lax.cond(done, lambda c: c, do,
+                                    (V, H, cs, sn, g, done, k))
+
+            V, H, cs, sn, g, done, k = jax.lax.fori_loop(
+                0, m, arnoldi_step,
+                (V, H, cs, sn, g, beta <= target, jnp.array(0, jnp.int32)))
+
+            # back-substitute H[:k,:k] y = g[:k]; k is traced -> identity-
+            # pad the unused rows/cols (replicated small dense work)
+            used = jnp.arange(m) < k
+            Hsq = jnp.where(used[None, :] & used[:, None], H[:m, :m],
+                            jnp.eye(m, dtype=dtype))
+            gv = jnp.where(used, g[:m], 0.0)
+
+            def back(i, y):
+                i = m - 1 - i
+                yi = (gv[i] - Hsq[i] @ y) / Hsq[i, i]
+                return y.at[i].set(yi)
+
+            y = jax.lax.fori_loop(0, m, back, jnp.zeros(m, dtype))
+            x_new = x + pc(V[:m].T @ y)
+            rnorm = pvnorm(bflat - mv(x_new))
+            return (x_new, rnorm, total_it + k, rnorm <= target)
+
+        def cond(state):
+            _, rnorm, total_it, conv = state
+            return (~conv) & (total_it < krylov_maxiter) & jnp.isfinite(rnorm)
+
+        # init rnorm = bnorm (NOT inf: the isfinite health guard in cond
+        # must not reject the first cycle)
+        init = (jnp.zeros(nloc, dtype), bnorm,
+                jnp.array(0, jnp.int32), jnp.asarray(False))
+        x, rnorm, iters, conv = jax.lax.while_loop(cond, cycle, init)
+        return x.reshape(shape), iters
+
     def step_local(u_loc, up_loc, theta, cells, vols, gradN, bc_mask,
-                   bc_vals, valid, *facet_flat):
+                   bc_vals, valid, *rest):
         # rebuild the facets dict from flattened per-marker arrays
         facets = {}
-        it = iter(facet_flat)
+        it = iter(rest)
         for m, (_, _, fshape, fw) in sorted(plan.facets.items()):
             fn = next(it)
             fm = next(it)
             facets[m] = (fn, fm, fshape, fw)
+        if pp is not None:
+            (order_t, start_t, end_t, cover_t, identov_t) = (
+                next(it), next(it), next(it), next(it), next(it))
+        # per-step Dirichlet VALUE updates as arithmetic lifts (traced
+        # theta scalars; no scatter/select touches them).  The barrier
+        # keeps XLA from fusing the blend into downstream kernels — the
+        # fusion faults the TPU worker at reference mesh size when a
+        # traced value lands on the potential field (probe_r3_n.py)
+        for key in lift_keys:
+            oh = next(it)
+            bc_vals = jax.lax.optimization_barrier(
+                bc_vals * (1.0 - oh) + theta[key] * oh)
 
         ident_rows = bc_mask | (~valid)[:, None]
 
@@ -400,7 +837,17 @@ def make_sharded_transient(
                 u_ext, up_ext, theta, cells, vols, gradN, facets)
             mv = make_matvec(J_e, J_f, cells, facets, ident_rows)
             Minv = diag_blocks_reduced(J_e, J_f, cells, facets, ident_rows)
-            du, klin = bicgstab_sharded(mv, Minv, r)
+            if pp is not None:
+                Minv_apply = make_local_slab_precond(
+                    J_e, Minv, ident_rows, order_t, start_t, end_t,
+                    cover_t, identov_t)
+                # f64 GMRES over the f32 banded direct apply — BiCGStab
+                # breaks down under an f32-quality preconditioner on
+                # these Jacobians (see gmres_sharded docstring)
+                du, klin = gmres_sharded(mv, Minv_apply, r)
+            else:
+                Minv_apply = lambda rr: jnp.einsum("nfg,ng->nf", Minv, rr)
+                du, klin = bicgstab_sharded(mv, Minv_apply, r)
             u = u - relaxation * du
             r = residual(u)
             return (u, r, pnorm(r), it + 1, lin + klin)
@@ -422,18 +869,27 @@ def make_sharded_transient(
     elif "check_vma" in sig_params:
         _smkw["check_vma"] = False
 
-    facet_flat = []
-    facet_specs = []
+    rest_flat = []
+    rest_specs = []
     for m, (fn, fm, fshape, fw) in sorted(plan.facets.items()):
-        facet_flat += [np.asarray(fn), np.asarray(fm)]
-        facet_specs += [P(axis_name), P(axis_name)]
+        rest_flat += [np.asarray(fn), np.asarray(fm)]
+        rest_specs += [P(axis_name), P(axis_name)]
+    if pp is not None:
+        rest_flat += [pp.order, pp.start, pp.end, pp.cover, pp.ident_ov]
+        rest_specs += [P(axis_name)] * 5
+    for oh, _key in bc_lifts:
+        oh = np.asarray(oh, np.float64)
+        assert oh.shape == (n_dev * N_p, nf), (
+            f"bc_lift onehot must be padded to ({n_dev * N_p}, {nf})")
+        rest_flat.append(oh.reshape(n_dev, N_p, nf))
+        rest_specs.append(P(axis_name))
 
     sharded = shard_map(
         step_local,
         mesh=dev_mesh,
         in_specs=(P(axis_name), P(axis_name), P(), P(axis_name),
                   P(axis_name), P(axis_name), P(axis_name), P(axis_name),
-                  P(axis_name), *facet_specs),
+                  P(axis_name), *rest_specs),
         out_specs=(P(axis_name), (P(), P(), P(), P())),
         **_smkw,
     )
@@ -445,12 +901,115 @@ def make_sharded_transient(
     bc_mask_flat = np.asarray(plan.bc_mask).reshape(n_dev * N_p, nf)
     bc_vals_flat = np.asarray(plan.bc_vals).reshape(n_dev * N_p, nf)
     valid_flat = np.asarray(plan.valid).reshape(n_dev * N_p)
-    facet_flat = [a.reshape((-1,) + tuple(a.shape[2:])) for a in facet_flat]
+    rest_flat = [a.reshape((-1,) + tuple(a.shape[2:])) for a in rest_flat]
 
-    @jax.jit
     def step(u_shard, up_shard, theta):
         return sharded(u_shard, up_shard, theta, cells_flat, vols_flat,
                        gradN_flat, bc_mask_flat, bc_vals_flat, valid_flat,
-                       *facet_flat)
+                       *rest_flat)
 
+    if jit:
+        step = jax.jit(step)
     return step, dev_mesh, u_sharding
+
+
+def make_sharded_transient(
+    plan: ZShardPlan,
+    form: WeakForm,
+    mesh_devices,
+    n_steps: int,
+    theta_of_carry: Optional[Callable] = None,
+    theta: Optional[dict] = None,
+    **step_kwargs,
+):
+    """Multi-step sharded transient: ``lax.scan`` of the sharded implicit
+    step, the whole transient one jit-compiled SPMD program.
+
+    theta_of_carry(carry, i) -> theta computes per-step traced scalars
+    from the GLOBAL (sharded) solution array — e.g. the Sechenov CO2
+    Dirichlet value from solution medians — mirroring the single-device
+    run_transient protocol; pass a static ``theta`` instead for frozen
+    coefficients.  Per-step Dirichlet value updates enter via
+    ``bc_lifts`` (see make_sharded_step).
+
+    Returns (run, dev_mesh, u_sharding) with
+    ``run(u0_sharded) -> ((u_final, extra), stats_stacked)``.
+    """
+    step_raw, dev_mesh, u_sharding = make_sharded_step(
+        plan, form, mesh_devices, jit=False, **step_kwargs)
+
+    if theta_of_carry is None:
+        _theta = dict(theta or {})
+        theta_of_carry = lambda carry, i: _theta
+
+    def run(u0_shard):
+        def body(carry, i):
+            u, extra = carry
+            th = theta_of_carry((u, extra), i)
+            u_new, stats = step_raw(u, u, th)
+            return (u_new, extra), stats
+
+        return jax.lax.scan(body, (u0_shard, jnp.asarray(0.0)),
+                            jnp.arange(n_steps))
+
+    return jax.jit(run), dev_mesh, u_sharding
+
+
+def make_sharded_pore_transient(
+    prog,
+    mesh_devices,
+    n_steps: Optional[int] = None,
+    **kwargs,
+):
+    """Production sharded 3D pore transient from a built Pore3DProgram:
+    z-slab domain decomposition + per-device slab-direct preconditioning +
+    the moving Sechenov CO2 Dirichlet BC as an arithmetic lift.
+
+    Returns (run, u0_sharded, plan) with ``run(u0) -> ((u_final, _),
+    stats)``; ``u_final`` is (N, f) in the ORIGINAL mesh vertex order
+    (the plan z-sorts shipped meshes internally; ``run`` globalizes the
+    final state back).
+    """
+    cfg = prog.config
+    nf = cfg.n_fields
+    ns = len(cfg.species)
+    N = prog.space.num_vertices
+    n_dev = len(mesh_devices)
+    n = prog.num_steps if n_steps is None else n_steps
+
+    mask = np.asarray(prog.bc.mask)
+    vals = np.asarray(prog.bc.values)
+    plan = ZShardPlan.build(prog.mesh, nf, n_dev, mask, vals,
+                            quad_degree=cfg.quad_degree)
+
+    oh = np.zeros((N, nf))
+    oh[prog.s1_verts, prog.idx["CO2"]] = 1.0
+    oh = plan.localize(oh)
+
+    def theta_of_carry(carry, i):
+        # u[:N] holds every true vertex (padding rows are the tail of the
+        # last device); the Sechenov update only takes per-field medians,
+        # which are permutation-invariant, so plan order is fine
+        u, _ = carry
+        return prog._theta_of_carry((u[:N], None), i)
+
+    kwargs.setdefault("relaxation", cfg.newton.relaxation)
+    kwargs.setdefault("newton_max_iter", cfg.newton.max_iter)
+    kwargs.setdefault("newton_rtol", cfg.newton.rtol)
+    kwargs.setdefault("newton_atol", cfg.newton.atol)
+    run_pad, dev_mesh, u_sharding = make_sharded_transient(
+        plan, prog.form, mesh_devices, n,
+        theta_of_carry=theta_of_carry,
+        bc_lifts=[(oh, "co2_s1")],
+        **kwargs)
+
+    u0 = np.ones((N, nf))
+    if cfg.physics == "GMPNP":
+        u0[:, ns] = 0.0
+    u0 = jax.device_put(jnp.asarray(plan.localize(u0)), u_sharding)
+
+    def run(u0_sharded):
+        (u_fin, extra), stats = run_pad(u0_sharded)
+        return (jnp.asarray(plan.globalize(u_fin)), extra), stats
+
+    return run, u0, plan

@@ -90,7 +90,11 @@ class SlabPlan:
         if max_slabs is not None:
             m_v = max(m_v, -(-N // max_slabs))
         S = max(-(-N // m_v), 1)
-        m_v = -(-N // S)          # even out slab sizes
+        # even out slab sizes — but never below the bandwidth, or in-band
+        # couplings would be silently dropped by the |band|<=1 filter
+        # below (latent here, bit the sharded precond at N_p=162/bw=36,
+        # probes/probe_r3_j.py)
+        m_v = max(-(-N // S), bw, 1)
         S = -(-N // m_v)
         N_pad = S * m_v
         m = m_v * f
