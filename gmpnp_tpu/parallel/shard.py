@@ -197,75 +197,91 @@ class ZShardPlan:
 
 @dataclass(frozen=True)
 class SlabPrecondPlan:
-    """Host-side tables for the per-device z-slab direct preconditioner.
+    """Host-side tables for the DISTRIBUTED z-slab direct solver (SPIKE).
 
     Distributes the production slab solver (solve.slab — the MUMPS-slot
-    replacement) across the device mesh as a block-Jacobi-over-devices
-    preconditioner with an EXACT banded direct solve per device: each
-    device assembles its owned-rows block-banded Jacobian from its element
-    blocks (scatter-free sorted-segment reduction), equilibrates it with
-    the exact spill-reduced block diagonal, factors it with f32
-    block-Thomas on the MXU, and applies it locally (zero communication
-    per application — the Krylov matvec carries all inter-device
-    coupling).  Round 1/2's sharded path ran plain block-Jacobi BiCGStab
-    (2,834 Krylov iterations on the dryrun mesh); this brings the sharded
-    inner solve to the same O(10)-iteration regime as the single-chip
-    slab_direct path (VERDICT r2 item 2).
+    replacement) across the device mesh as an EXACT f32 direct solve of
+    the full Newton system, used as the preconditioner of the sharded
+    f64 GMRES (the same mixed-precision recipe as the single-chip
+    slab_direct path, so the sharded inner solve converges in the same
+    O(10)-iteration regime regardless of device count).
 
-    The local system is the RESTRICTED ADDITIVE SCHWARZ (RAS-1) extension:
-    each device factors its owned rows PLUS one overlap slab — the right
-    neighbor's first ``m_v`` rows — and discards the overlap part of the
-    solution after each apply.  The overlap is what keeps the
-    preconditioner strong when the halo is a sizeable fraction of the
-    slab: the non-overlapping variant (round-3 first cut) needed ~200
-    Krylov iterations per Newton at halo/N_p ≈ 0.2 and maxed out the
-    iteration budget at halo ≈ slab (the dryrun mesh), because every
-    dropped (owned row ↔ halo column) coupling sits exactly on the
-    decomposition seam.  Boundary-facet Jacobian contributions are still
-    omitted from the band (they only perturb the preconditioner, never
-    the Krylov system).  Cross-device row CONTRIBUTIONS are fully
-    assembled: the extended band's last row-block (rows owned by the
-    right neighbor) is exchanged ppermute-right to complete the
-    neighbor's owned rows, and its own-rows head block ppermute-left to
-    complete this device's overlap slab.  (Round-3 finding: identity
-    fallback rows on the seam make the f32 band inconsistent enough to
-    break down the Krylov solve, probes/probe_r3_g.py.)
+    Why exact and not Schwarz: one-level RAS (round-3 first cut) has no
+    global coarse coupling, so its iteration count grows with device
+    count — measured 97/354/792 Krylov iterations per Newton at
+    n_dev=2/4/8 on a fixed N=1517 mesh (the Poisson field is globally
+    elliptic; every seam truncation is felt everywhere).  The SPIKE
+    factorization removes the seams instead of approximating them.
+
+    Algorithm (classic SPIKE / block cyclic reduction over device
+    blocks; each Newton iteration):
+
+    1. every device assembles its owned-rows block-banded Jacobian from
+       its element AND boundary-facet blocks (scatter-free sorted-segment
+       reduction over this plan's tables), row-replaces Dirichlet rows,
+       equilibrates with the exact spill-reduced block diagonal, and
+       factors it with f32 block-Thomas on the MXU (solve.slab) — all
+       devices in parallel;
+    2. the seam coupling blocks B_p (own last rows -> right neighbor's
+       head columns) and C_p (own head rows -> left neighbor's tail
+       columns; assembled by the LEFT neighbor's elements and exchanged
+       one ppermute right) are restricted to the static interface
+       windows of ``h_v`` vertices (h_v = element bandwidth >= halo) and
+       turned into spikes V_p = A_p^{-1} B_p, W_p = A_p^{-1} C_p by the
+       factored local solve with h_v*f simultaneous RHS columns;
+    3. the interface unknowns y_p (tail window of device p) and z_{p+1}
+       (head window of device p+1) close a block-tridiagonal REDUCED
+       system of n_dev-1 seam blocks of size 2*h_v*f, built replicated
+       from one all_gather of the four spike tip blocks per device and
+       factored once per Newton iteration (again solve.slab);
+    4. each application then costs one local banded solve, one
+       all_gather of the two interface RHS windows, one replicated
+       reduced solve, and two (S, m, h) spike corrections — and returns
+       the EXACT (up to f32) solution of the full distributed system.
 
     Layout: extended positions 0..(S+1)*m_v; local vertex id r maps to
     position r for owned rows (padding positions N_p..S*m_v are identity
     rows inside the last owned slab) and to S*m_v + (r - N_p) for
-    overlap rows.  ``m_v`` is chosen with m_v >= bw + pad so that EVERY
+    halo rows.  ``m_v`` is chosen with m_v >= bw + pad so that EVERY
     element coupling lands within one slab of its row (|band| <= 1) —
-    including owned-row -> overlap-column couplings across the padding
-    gap.
+    including owned-row -> halo-column couplings across the padding
+    gap.  That same inequality places the tail interface window
+    [N_p - h_v, N_p) entirely inside the last slab.
     """
 
-    S: int           # owned slabs per device (extended system has S+1)
+    S: int           # owned slabs per device (assembly space has S+1)
     m_v: int         # vertices per slab
     f: int
     N_p: int
+    h_v: int         # interface window width in vertices (= bandwidth)
+    pad: int         # identity padding rows inside the last slab
     # per-device sorted-segment tables over extended band destinations
-    order: np.ndarray   # (n_dev, C_p*nv*nv) int32
+    # (element pair blocks first, then facet pair blocks per marker in
+    # ``facet_markers`` order — the runtime concatenates values the same
+    # way)
+    facet_markers: Tuple[int, ...]
+    order: np.ndarray   # (n_dev, n_pairs) int32
     start: np.ndarray   # (n_dev, (S+1)*m_v*3*m_v) int32
     end: np.ndarray     # (n_dev, (S+1)*m_v*3*m_v) int32
-    # extended-position coverage: True = some element assembles this row
-    # (own elements, left-neighbor spill, or — for the overlap slab — the
-    # right neighbor's own elements); uncovered -> identity row
+    # owned-position coverage: True = some element assembles this row
+    # (own elements or left-neighbor spill); uncovered -> identity row
     cover: np.ndarray   # (n_dev, (S+1)*m_v) bool
-    # static ident mask of the overlap rows (right neighbor's Dirichlet/
-    # padding rows; all True on the last device — ring wraparound rows
-    # are factored as identity and discarded by the RAS restriction)
-    ident_ov: np.ndarray  # (n_dev, m_v, f) bool
 
     @property
     def m(self) -> int:
         return self.m_v * self.f
 
+    @property
+    def h(self) -> int:
+        return self.h_v * self.f
+
     @staticmethod
-    def build(plan: ZShardPlan) -> "SlabPrecondPlan":
+    def build(plan: ZShardPlan,
+              facet_markers: Sequence[int] = ()) -> "SlabPrecondPlan":
         n_dev, N_p, f = plan.n_dev, plan.N_p, plan.n_fields
         cells_l = np.asarray(plan.cells_l)          # (n_dev, C_p, nv)
         n_dev_, C_p, nv = cells_l.shape
+        facet_markers = tuple(sorted(facet_markers))
 
         # local bandwidth over element couplings; m_v >= bw makes the
         # extended system block tridiagonal in slabs (solve.slab)
@@ -280,9 +296,10 @@ class SlabPrecondPlan:
         m_v = min(max(-(-N_p // S), bw), N_p)
         # m_v < bw silently drops couplings from the band (round-3 root
         # cause of the n_dev=2 divergence: N_p=162, bw=36 rounded m_v
-        # down to 33, probes/probe_r3_j.py); RAS further needs
+        # down to 33, probes/probe_r3_j.py); SPIKE further needs
         # m_v >= bw + pad so couplings that jump the padding gap into the
-        # overlap slab stay within |band| <= 1
+        # halo slab stay within |band| <= 1 and the tail interface
+        # window stays inside the last slab
         while S * m_v - N_p > m_v - bw:
             m_v += 1
             S = max(-(-N_p // m_v), 1)
@@ -291,14 +308,8 @@ class SlabPrecondPlan:
         E = (S + 1) * m_v
         n_dest = E * 3 * m_v
 
-        orders = np.zeros((n_dev, C_p * nv * nv), np.int32)
-        starts = np.zeros((n_dev, n_dest), np.int32)
-        ends = np.zeros((n_dev, n_dest), np.int32)
         cover = np.zeros((n_dev, E), bool)
-        ident_ov = np.ones((n_dev, m_v, f), bool)
         vols = np.asarray(plan.vols)                        # (n_dev, C_p)
-        bc_mask = np.asarray(plan.bc_mask)                  # (n_dev, N_p, f)
-        valid = np.asarray(plan.valid)                      # (n_dev, N_p)
 
         def pos_of(idx):
             return np.where(idx < N_p, idx, S * m_v + (idx - N_p))
@@ -308,41 +319,50 @@ class SlabPrecondPlan:
             real = vols[p] > 0                              # padding cells
             cov = np.unique(c[real])
             cover[p, pos_of(cov)] = True
-        for p in range(n_dev):
             # own rows also covered via the left neighbor's spill
-            # exchange; overlap rows via the right neighbor's own
-            # elements (element owner = min-vertex device and span <= bw
-            # <= m_v, so no device beyond the two neighbors contributes)
+            # exchange (element owner = min-vertex device and span <= bw
+            # <= m_v, so no device beyond the left neighbor contributes)
             if p > 0:
                 cl = cells_l[p - 1].astype(np.int64)
                 spill = np.unique(cl[vols[p - 1] > 0])
                 spill = spill[spill >= N_p] - N_p
                 cover[p, spill[spill < N_p]] = True
-            if p < n_dev - 1:
-                cr = cells_l[p + 1].astype(np.int64)
-                covr = np.unique(cr[vols[p + 1] > 0])
-                covr = covr[covr < m_v]
-                cover[p, S * m_v + covr] = True
-                ident_ov[p] = bc_mask[p + 1, :m_v] | ~valid[p + 1, :m_v,
-                                                            None]
-        # per-device extended band destination tables from OWN cells: all
-        # element couplings are in range (ids < N_p + H <= N_p + m_v) and
-        # within |band| <= 1 by the m_v >= bw + pad constraint
-        for p in range(n_dev):
-            c = cells_l[p].astype(np.int64)
-            r = np.repeat(c[:, :, None], nv, 2).reshape(-1)   # row of (c,a,b)
-            q = np.repeat(c[:, None, :], nv, 1).reshape(-1)   # col
+
+        def pair_dest(c):
+            """(n, k) node tuples -> flat band destinations for every
+            (row, col) node pair, matching the runtime value order
+            J[n, a, b] -> (row c[a], col c[b])."""
+            k = c.shape[1]
+            r = np.repeat(c[:, :, None], k, 2).reshape(-1)
+            q = np.repeat(c[:, None, :], k, 1).reshape(-1)
             pr, pq = pos_of(r), pos_of(q)
             s_r, i_r = pr // m_v, pr % m_v
             s_q, i_q = pq // m_v, pq % m_v
             band = s_q - s_r
             assert (np.abs(band) <= 1).all(), "band overflow: bad m_v"
-            dest = (s_r * m_v + i_r) * (3 * m_v) + (band + 1) * m_v + i_q
-            o, st, en = _sorted_segment_tables(dest, n_dest)
+            return (s_r * m_v + i_r) * (3 * m_v) + (band + 1) * m_v + i_q
+
+        # element pair blocks first, then facet pair blocks per marker —
+        # facet Jacobians INCLUDED so the f32 factorization is the exact
+        # (rounded) inverse of the Krylov operator, not a perturbation
+        n_pairs = C_p * nv * nv + sum(
+            plan.facets[mk][0].shape[1] * plan.facets[mk][0].shape[2] ** 2
+            for mk in facet_markers)
+        orders = np.zeros((n_dev, n_pairs), np.int32)
+        starts = np.zeros((n_dev, n_dest), np.int32)
+        ends = np.zeros((n_dev, n_dest), np.int32)
+        for p in range(n_dev):
+            dest = [pair_dest(cells_l[p].astype(np.int64))]
+            for mk in facet_markers:
+                fn = np.asarray(plan.facets[mk][0][p]).astype(np.int64)
+                dest.append(pair_dest(fn))
+            o, st, en = _sorted_segment_tables(
+                np.concatenate(dest), n_dest)
             orders[p], starts[p], ends[p] = o, st, en
-        return SlabPrecondPlan(S=S, m_v=m_v, f=f, N_p=N_p,
+        return SlabPrecondPlan(S=S, m_v=m_v, f=f, N_p=N_p, h_v=bw, pad=pad,
+                               facet_markers=facet_markers,
                                order=orders, start=starts, end=ends,
-                               cover=cover, ident_ov=ident_ov)
+                               cover=cover)
 
 
 def make_sharded_step(
@@ -369,10 +389,12 @@ def make_sharded_step(
     inside one shard_map.
 
     linear: 'slab_direct' (default) runs distributed f64 CGS2-GMRES
-    preconditioned by a per-device RAS-1 f32 block-Thomas factorization
-    of the extended (owned + 1 overlap slab) banded Jacobian (see
-    SlabPrecondPlan) — the distributed form of the production solve.slab
-    solver; 'bicgstab_jacobi' keeps the round-1 block-Jacobi BiCGStab.
+    preconditioned by the EXACT f32 distributed SPIKE direct solve of
+    the banded Jacobian (per-device block-Thomas factorizations + a
+    replicated reduced seam system; see SlabPrecondPlan) — the
+    distributed form of the production solve.slab solver, with
+    device-count-independent O(10) inner iterations; 'bicgstab_jacobi'
+    keeps the round-1 block-Jacobi BiCGStab.
 
     bc_lifts: optional static (N_pad, f) one-hot masks paired with theta
     keys; per step the Dirichlet VALUES become
@@ -386,7 +408,12 @@ def make_sharded_step(
         raise ValueError(f"unknown sharded linear solver {linear!r}; "
                          f"'slab_direct' or 'bicgstab_jacobi'")
     n_dev, N_p, H, nf = plan.n_dev, plan.N_p, plan.H, plan.n_fields
-    pp = SlabPrecondPlan.build(plan) if linear == "slab_direct" else None
+    if linear == "slab_direct":
+        active_markers = sorted(
+            mk for mk in plan.facets if form.boundary.get(mk) is not None)
+        pp = SlabPrecondPlan.build(plan, facet_markers=active_markers)
+    else:
+        pp = None
     bc_lifts = list(bc_lifts or [])
     lift_keys = [k for _, k in bc_lifts]
     dev_mesh = Mesh(np.array(mesh_devices).reshape(n_dev), (axis_name,))
@@ -537,95 +564,137 @@ def make_sharded_step(
         D = jnp.where(ident_rows[:, :, None] & (eye[None] == 0), 0.0, D)
         return block_inv(D)
 
-    def make_local_slab_precond(J_e, Dinv_blocks, ident_rows,
-                                order_t, start_t, end_t,
-                                cover_t, identov_t):
-        """Per-device RAS-1 banded direct preconditioner (see
-        SlabPrecondPlan): assemble the extended (owned + one overlap
-        slab) band from element blocks (sorted-segment reduction, no
-        scatter), exchange the two seam row-blocks with the neighbors
-        (two ppermutes per Newton iteration), equilibrate with the exact
-        block diagonal, factor f32 block-Thomas, apply locally with one
-        rhs ppermute and restrict to owned rows."""
-        S, m_v, m = pp.S, pp.m_v, pp.m
-        pad = S * m_v - N_p
+    def make_local_spike_precond(J_e, J_f, Dinv_blocks, ident_rows,
+                                 order_t, start_t, end_t, cover_t):
+        """Distributed SPIKE direct solve of the full Newton system (see
+        SlabPrecondPlan): per-device f32 block-Thomas factorization of
+        the owned band (elements + facets, sorted-segment reduction, no
+        scatter), seam blocks exchanged one ppermute right, spikes by the
+        factored local solve with h RHS columns, and a replicated
+        reduced block-tridiagonal seam system built from one all_gather
+        of the spike tips.  Used as the sharded GMRES preconditioner —
+        exact up to f32 rounding, so iterations stay O(10) regardless of
+        device count."""
+        S, m_v, m, h, pad = pp.S, pp.m_v, pp.m, pp.h, pp.pad
         f = nf
-        fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
-        bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
-        mid = slice(m_v, 2 * m_v)
-        vals = J_e.reshape(-1, f * f)
-        bsum = _segment_reduce(vals, order_t, start_t, end_t)
+        f32 = jnp.float32
+        ring_r = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+        wlo = (m_v - pad - pp.h_v) * f     # tail interface window start
+
+        # --- band assembly from element + facet blocks (value order
+        #     matches SlabPrecondPlan.build's destination order)
+        vals = [J_e.reshape(-1, f * f)]
+        for mk in pp.facet_markers:
+            vals.append(J_f[mk].reshape(-1, f * f))
+        bsum = _segment_reduce(jnp.concatenate(vals, axis=0),
+                               order_t, start_t, end_t)
         B4 = bsum.reshape(S + 1, m_v, 3 * m_v, f, f)
-        # Seam exchange (middle thirds are the only parts in the
-        # receiver's column coordinates; the rest is RAS truncation):
-        # - row-block S = this device's contributions to the RIGHT
-        #   neighbor's rows [0, m_v) -> send right, completes its owned
-        #   head rows (the last device's block is zero: its halo is
-        #   padding, so the ring wraparound to device 0 carries zeros)
-        # - row-block 0 (own elements only, pre-exchange) -> send left,
-        #   completes the LEFT neighbor's overlap slab
-        recv_r = jax.lax.ppermute(B4[S, :, mid], axis_name, fwd)
-        recv_l = jax.lax.ppermute(B4[0, :, mid], axis_name, bwd)
-        B4 = B4.at[0, :, mid].add(recv_r).at[S, :, mid].add(recv_l)
-        # equilibration diagonal: own rows use this device's exact
-        # (facet-inclusive, row-replaced) Dinv; overlap rows the right
-        # neighbor's head blocks (one more small ppermute per Newton)
-        Dv_ov = jax.lax.ppermute(Dinv_blocks[:m_v], axis_name, bwd)
-        Dv = Dinv_blocks
-        identm = ident_rows | (~cover_t[:N_p])[:, None]
-        identp = ident_rows
+
+        # Seam exchange in RAW values (the receiver applies its own row
+        # replacement and equilibration):
+        # - halo-row band 0 -> right: completes the receiver's head
+        #   diagonal (the last device's halo is padding, so the ring
+        #   wraparound to device 0 carries zeros)
+        # - halo-row band -1 -> right: C_p, the receiver's head rows
+        #   coupling to THIS device's tail columns
+        mid = slice(m_v, 2 * m_v)
+        recv_diag = jax.lax.ppermute(B4[S, :, mid], axis_name, ring_r)
+        C4 = jax.lax.ppermute(B4[S, :, :m_v], axis_name, ring_r)
+        B4 = B4[:S].at[0, :, mid].add(recv_diag)
+
+        # --- identity rows: Dirichlet + invalid + uncovered + pad gap.
+        # Row-replace BEFORE equilibrating: Dinv_blocks is the inverse of
+        # the ROW-REPLACED diagonal, so equilibrating the raw band would
+        # mix the ORIGINAL ident rows of A (which the Krylov system
+        # replaced with identity) into non-ident rows — an inconsistent
+        # system (probes/probe_r3_e.py: 0.77 rel err vs the reference
+        # solve; this ordering is exact to 1e-14 / 3e-8 in f32).
+        identp = (ident_rows | (~cover_t[:N_p])[:, None])
         if pad:
-            Dv = jnp.concatenate(
-                [Dv, jnp.broadcast_to(jnp.eye(f), (pad, f, f))], axis=0)
-            identm = jnp.concatenate(
-                [identm, jnp.ones((pad, f), bool)], axis=0)
             identp = jnp.concatenate(
                 [identp, jnp.ones((pad, f), bool)], axis=0)
-        # overlap slab: static ident mask + coverage fallback
-        identm_ov = identov_t | (~cover_t[S * m_v:])[:, None]
-        identm = jnp.concatenate([identm, identm_ov], axis=0)
-        identp = jnp.concatenate([identp, identov_t], axis=0)
-        Dv = jnp.concatenate([Dv, Dv_ov], axis=0).reshape(
-            S + 1, m_v, f, f)
-        # Row-replace ident (Dirichlet/invalid) FIELD rows in the band
-        # BEFORE equilibrating: Dinv_blocks is the inverse of the
-        # ROW-REPLACED diagonal, so equilibrating the raw band would mix
-        # the ORIGINAL ident rows of A (which the Krylov system replaced
-        # with identity) into non-ident rows — an inconsistent system
-        # (probes/probe_r3_e.py: 0.77 rel err vs the reference solve; the
-        # fixed ordering is exact to 1e-14 / 3e-8 in f32).
-        identp4 = identp.reshape(S + 1, m_v, f)
+        identp4 = identp.reshape(S, m_v, f)
         diag_onehot = np.zeros((m_v, 3 * m_v))
         diag_onehot[np.arange(m_v), m_v + np.arange(m_v)] = 1.0
         B4 = jnp.where(identp4[:, :, None, :, None], 0.0, B4)
         B4 = B4 + (identp4[:, :, None, :, None]
                    * diag_onehot[None, :, :, None, None]
                    * jnp.eye(f)[None, None, None])
-        # block-row equilibration (keeps the f32 bands well ranged,
-        # solve.slab.slab_prepare)
+        # C rows follow the receiver's own head-slab ident mask
+        C4 = jnp.where(identp4[0][:, None, :, None], 0.0, C4)
+
+        # --- block-row equilibration (keeps the f32 bands well ranged,
+        #     solve.slab.slab_prepare)
+        Dv = Dinv_blocks
+        if pad:
+            Dv = jnp.concatenate(
+                [Dv, jnp.broadcast_to(jnp.eye(f), (pad, f, f))], axis=0)
+        Dv = Dv.reshape(S, m_v, f, f)
         B4 = jnp.einsum("sirt,sijtg->sijrg", Dv, B4)
-        B = B4.transpose(0, 1, 3, 2, 4).reshape(S + 1, m, 3 * m)
-        eye_band = jnp.concatenate(
-            [jnp.zeros((m, m)), jnp.eye(m), jnp.zeros((m, m))], axis=1)
-        B = jnp.where(identm.reshape(S + 1, m)[:, :, None],
-                      eye_band[None], B)
-        B32 = B.astype(jnp.float32)
-        factors = slab_factor(B32[:, :, :m], B32[:, :, m:2 * m],
-                              B32[:, :, 2 * m:])
+        C4 = jnp.einsum("irt,ijtg->ijrg", Dv[0], C4)
+
+        B = B4.transpose(0, 1, 3, 2, 4).reshape(S, m, 3 * m).astype(f32)
+        lower, diag, upper = B[:, :, :m], B[:, :, m:2 * m], B[:, :, 2 * m:]
+        # the seam blocks leave the local factorization: B_p = last
+        # slab's halo coupling restricted to the neighbor's head window
+        # (halo width <= bandwidth = h_v); C_p's nonzero columns sit in
+        # the sender's tail window [wlo, wlo+h) by the same bound
+        Bp = upper[S - 1, :, :h]
+        upper = upper.at[S - 1].set(0.0)
+        Cm = C4.transpose(0, 2, 1, 3).reshape(m, m).astype(f32)
+        Cw = Cm[:, wlo:wlo + h]
+        factors = slab_factor(lower, diag, upper)
+
+        # --- spikes: V = A^-1 [0;...;0; Bp], W = A^-1 [Cw; 0;...;0]
+        V = slab_solve(factors,
+                       jnp.zeros((S, m, h), f32).at[S - 1].set(Bp))
+        W = slab_solve(factors,
+                       jnp.zeros((S, m, h), f32).at[0].set(Cw))
+
+        if n_dev > 1:
+            # reduced block-tridiagonal seam system over interface pairs
+            # U_p = [y_p ; z_{p+1}] (y = tail window of device p, z =
+            # head window of device p+1), replicated from the spike tips
+            V1, W1 = V[0, :h], W[0, :h]
+            VS, WS = V[S - 1, wlo:wlo + h], W[S - 1, wlo:wlo + h]
+            tips = jax.lax.all_gather(
+                jnp.stack([V1, VS, W1, WS]), axis_name)  # (n_dev,4,h,h)
+            V1g, VSg, W1g, WSg = (tips[:, 0], tips[:, 1],
+                                  tips[:, 2], tips[:, 3])
+            nseam = n_dev - 1
+            eye_h = jnp.eye(h, dtype=f32)
+            Dred = (jnp.zeros((nseam, 2 * h, 2 * h), f32)
+                    .at[:, :h, :h].set(eye_h).at[:, h:, h:].set(eye_h)
+                    .at[:, :h, h:].set(VSg[:-1])
+                    .at[:, h:, :h].set(W1g[1:]))
+            Lred = jnp.zeros((nseam, 2 * h, 2 * h), f32).at[
+                :, :h, :h].set(WSg[:-1])
+            Ured = jnp.zeros((nseam, 2 * h, 2 * h), f32).at[
+                :, h:, h:].set(V1g[1:])
+            red_factors = slab_factor(Lred, Dred, Ured)
+            idx = jax.lax.axis_index(axis_name)
 
         def apply(rr):
             b = jnp.einsum("nfg,ng->nf", Dinv_blocks, rr)
-            # overlap rhs = right neighbor's equilibrated head rows (the
-            # RAS extension; one collective per application)
-            b_ov = jax.lax.ppermute(b[:m_v], axis_name, bwd)
             if pad:
                 b = jnp.concatenate(
                     [b, jnp.zeros((pad, f), b.dtype)], axis=0)
-            b_ext = jnp.concatenate([b, b_ov], axis=0)
-            x = slab_solve(factors,
-                           b_ext.reshape(S + 1, m).astype(jnp.float32))
-            # RAS restriction: keep owned rows, discard the overlap slab
-            return x.reshape((S + 1) * m_v, f)[:N_p].astype(rr.dtype)
+            g = slab_solve(factors, b.reshape(S, m).astype(f32))
+            if n_dev > 1:
+                gtips = jax.lax.all_gather(
+                    jnp.stack([g[S - 1, wlo:wlo + h], g[0, :h]]),
+                    axis_name)                           # (n_dev, 2, h)
+                rhs_red = jnp.concatenate(
+                    [gtips[:-1, 0], gtips[1:, 1]], axis=-1)
+                U = slab_solve(red_factors, rhs_red)     # (nseam, 2h)
+                y_prev = jnp.where(
+                    idx > 0, U[jnp.maximum(idx - 1, 0), :h], 0.0)
+                z_next = jnp.where(
+                    idx < n_dev - 1,
+                    U[jnp.minimum(idx, n_dev - 2), h:], 0.0)
+                g = (g - jnp.einsum("smh,h->sm", W, y_prev)
+                     - jnp.einsum("smh,h->sm", V, z_next))
+            return g.reshape(S * m_v, f)[:N_p].astype(rr.dtype)
 
         return apply
 
@@ -796,8 +865,8 @@ def make_sharded_step(
             fm = next(it)
             facets[m] = (fn, fm, fshape, fw)
         if pp is not None:
-            (order_t, start_t, end_t, cover_t, identov_t) = (
-                next(it), next(it), next(it), next(it), next(it))
+            (order_t, start_t, end_t, cover_t) = (
+                next(it), next(it), next(it), next(it))
         # per-step Dirichlet VALUE updates as arithmetic lifts (traced
         # theta scalars; no scatter/select touches them).  The barrier
         # keeps XLA from fusing the blend into downstream kernels — the
@@ -838,10 +907,10 @@ def make_sharded_step(
             mv = make_matvec(J_e, J_f, cells, facets, ident_rows)
             Minv = diag_blocks_reduced(J_e, J_f, cells, facets, ident_rows)
             if pp is not None:
-                Minv_apply = make_local_slab_precond(
-                    J_e, Minv, ident_rows, order_t, start_t, end_t,
-                    cover_t, identov_t)
-                # f64 GMRES over the f32 banded direct apply — BiCGStab
+                Minv_apply = make_local_spike_precond(
+                    J_e, J_f, Minv, ident_rows, order_t, start_t, end_t,
+                    cover_t)
+                # f64 GMRES over the f32 SPIKE direct apply — BiCGStab
                 # breaks down under an f32-quality preconditioner on
                 # these Jacobians (see gmres_sharded docstring)
                 du, klin = gmres_sharded(mv, Minv_apply, r)
@@ -875,8 +944,8 @@ def make_sharded_step(
         rest_flat += [np.asarray(fn), np.asarray(fm)]
         rest_specs += [P(axis_name), P(axis_name)]
     if pp is not None:
-        rest_flat += [pp.order, pp.start, pp.end, pp.cover, pp.ident_ov]
-        rest_specs += [P(axis_name)] * 5
+        rest_flat += [pp.order, pp.start, pp.end, pp.cover]
+        rest_specs += [P(axis_name)] * 4
     for oh, _key in bc_lifts:
         oh = np.asarray(oh, np.float64)
         assert oh.shape == (n_dev * N_p, nf), (

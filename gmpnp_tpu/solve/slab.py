@@ -235,10 +235,11 @@ def slab_factor(lower: jnp.ndarray, diag: jnp.ndarray,
 
 
 def slab_solve(factors: SlabFactors, d: jnp.ndarray) -> jnp.ndarray:
-    """Solve with precomputed factors; d, result: (S, m).  Two scans of
-    matrix-vector products per RHS."""
+    """Solve with precomputed factors; d, result: (S, m) — or (S, m, k)
+    for k simultaneous right-hand sides (the distributed SPIKE solver's
+    spike computation, parallel.shard).  Two scans of matrix-(multi)vector
+    products per RHS."""
     Dinvs, Cps, Al = factors
-    m = d.shape[1]
     dtype = d.dtype
 
     def fwd(dp_prev, inp):
@@ -246,14 +247,15 @@ def slab_solve(factors: SlabFactors, d: jnp.ndarray) -> jnp.ndarray:
         dp = Dinv @ (di - A @ dp_prev)
         return dp, dp
 
-    _, dps = jax.lax.scan(fwd, jnp.zeros(m, dtype), (Dinvs, Al, d))
+    _, dps = jax.lax.scan(fwd, jnp.zeros(d.shape[1:], dtype), (Dinvs, Al, d))
 
     def bwd(x_next, inp):
         Cp, dp = inp
         x = dp - Cp @ x_next
         return x, x
 
-    _, xs = jax.lax.scan(bwd, jnp.zeros(m, dtype), (Cps, dps), reverse=True)
+    _, xs = jax.lax.scan(bwd, jnp.zeros(d.shape[1:], dtype), (Cps, dps),
+                         reverse=True)
     return xs
 
 

