@@ -9,8 +9,17 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    # 8 virtual devices time-share the bench host's single core, so the
+    # per-device compute between two collectives (e.g. the replicated
+    # SPIKE reduced-system factorization at reference mesh size,
+    # parallel/shard.py) can exceed XLA:CPU's default rendezvous
+    # terminate timeout — which aborts the process, not just warns
+    flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=3600"
+              " --xla_cpu_collective_timeout_seconds=3600")
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 

@@ -102,6 +102,30 @@ def test_linear_config_validation():
                                          solve_dtype="f32"))
 
 
+def test_tpu_ssor_gate(monkeypatch):
+    """Selecting precond='ssor' inside a Krylov Newton solve on TPU must
+    raise instead of kernel-faulting the worker (VERDICT r2 item 8; the
+    fault is documented in docs/TPU_NOTES.md).  The backend is
+    monkeypatched — the gate keys off jax.default_backend()."""
+    import pytest
+
+    from gmpnp_tpu.solve import timeloop
+    from gmpnp_tpu.solve.timeloop import LinearConfig, _validate_linear_config
+
+    monkeypatch.setattr(timeloop.jax, "default_backend", lambda: "tpu")
+    monkeypatch.delenv("GMPNP_ALLOW_TPU_SSOR", raising=False)
+    for kind in ("gmres", "bicgstab"):
+        with pytest.raises(ValueError, match="kernel-faults"):
+            _validate_linear_config(LinearConfig(kind=kind, precond="ssor"))
+    # explicit override re-enables it for probing
+    monkeypatch.setenv("GMPNP_ALLOW_TPU_SSOR", "1")
+    _validate_linear_config(LinearConfig(kind="gmres", precond="ssor"))
+    # and SSOR on CPU (the tested path) stays allowed
+    monkeypatch.setattr(timeloop.jax, "default_backend", lambda: "cpu")
+    monkeypatch.delenv("GMPNP_ALLOW_TPU_SSOR", raising=False)
+    _validate_linear_config(LinearConfig(kind="bicgstab", precond="ssor"))
+
+
 def test_newton_loop_validation():
     import pytest
 
