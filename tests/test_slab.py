@@ -103,6 +103,26 @@ def test_slab_factor_solve_vs_numpy():
     np.testing.assert_allclose(x, x_ref, rtol=1e-9, atol=1e-10)
 
 
+def test_slab_solve_matrix_rhs():
+    """slab_solve with a (S, m, k) matrix RHS equals k separate vector
+    solves — the distributed SPIKE solver computes its spikes this way
+    (parallel.shard: V = A^-1 [0;..;B_p], h columns at once)."""
+    rng = np.random.default_rng(7)
+    S, m, k = 5, 12, 4
+    lo = rng.standard_normal((S, m, m)) * 0.1
+    up = rng.standard_normal((S, m, m)) * 0.1
+    di = rng.standard_normal((S, m, m)) * 0.1 + 4 * np.eye(m)
+    lo[0] = 0.0
+    up[-1] = 0.0
+    D = rng.standard_normal((S, m, k))
+
+    factors = slab_factor(jnp.asarray(lo), jnp.asarray(di), jnp.asarray(up))
+    X = np.asarray(slab_solve(factors, jnp.asarray(D)))
+    for j in range(k):
+        xj = np.asarray(slab_solve(factors, jnp.asarray(D[:, :, j])))
+        np.testing.assert_allclose(X[:, :, j], xj, rtol=1e-12, atol=1e-13)
+
+
 def test_slab_direct_solve_f64_accuracy():
     """f32 factorization + f64 refinement reaches 1e-10 relative residual
     on a random banded system at condition ~1e4."""
