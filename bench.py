@@ -153,7 +153,13 @@ def _build_rxn1d():
 def _build_edl_sweep(lanes=8):
     """Config-2 production operating point: 8-lane vmapped voltage sweep
     of the 1D EDL dry-run window (the reference runs these as independent
-    cluster jobs, README.md:37-39)."""
+    cluster jobs, README.md:37-39).  Armijo backtracking is ON, as in
+    production full-length runs (models/edl_1d auto-enables it): the
+    sweep spans the published voltage range down to V=-12.5, where plain
+    damped Newton diverges from the cold start at every dt
+    (probes/probe_r3_o.py) — without it the -12.5 lane is NaN."""
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
@@ -166,8 +172,9 @@ def _build_edl_sweep(lanes=8):
     P = edl_1d.P
     left = np.unique(
         prog.mesh.facets[prog.mesh.facet_markers == 1].reshape(-1))
+    newton = dataclasses.replace(_sweep_newton(cfg.newton), backtracking=4)
     step = make_implicit_step(
-        prog.space, prog.form, _sweep_newton(cfg.newton), cfg.linear,
+        prog.space, prog.form, newton, cfg.linear,
         bc_of_theta=lambda theta: prog.bc.arith().set_value_arith(
             left, P, theta["voltage"]))
     n = 100
