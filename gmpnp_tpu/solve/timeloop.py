@@ -133,9 +133,9 @@ def _validate_linear_config(cfg: LinearConfig) -> None:
     if cfg.matvec not in ("xla", "pallas"):
         raise ValueError(f"matvec must be 'xla' or 'pallas', got "
                          f"{cfg.matvec!r}")
-    if cfg.precond not in ("block_jacobi", "ssor"):
-        raise ValueError(f"precond must be 'block_jacobi' or 'ssor', got "
-                         f"{cfg.precond!r}")
+    if cfg.precond not in ("block_jacobi", "ssor", "amg"):
+        raise ValueError(f"precond must be 'block_jacobi', 'ssor' or "
+                         f"'amg', got {cfg.precond!r}")
     if cfg.jac_dtype not in ("f32", "f64"):
         raise ValueError(f"jac_dtype must be 'f32' or 'f64', got "
                          f"{cfg.jac_dtype!r}")
@@ -170,6 +170,12 @@ def make_linear_solver(space: FemSpace, form: WeakForm, cfg: LinearConfig):
             np.asarray(space.adj), np.asarray(space.points)[:, -1],
             space.n_fields, np.asarray(space.diag_slot),
             max_slabs=cfg.max_slabs)
+    amg_plan = None
+    if cfg.precond == "amg" and cfg.kind in ("gmres", "bicgstab"):
+        # aggregation structure depends only on the mesh graph: built once
+        # per space, shared by every assembled matrix (solve.amg)
+        from gmpnp_tpu.solve.amg import AMGPlan
+        amg_plan = AMGPlan.build(np.asarray(space.adj), space.n_fields)
 
     def solver(bc: DirichletBC, u_prev, theta):
         aux = theta.get("_aux") if isinstance(theta, dict) else None
@@ -243,6 +249,9 @@ def make_linear_solver(space: FemSpace, form: WeakForm, cfg: LinearConfig):
             if cfg.precond == "ssor":
                 pc = multicolor_ssor_preconditioner(
                     ell, space.colors, sweeps=cfg.ssor_sweeps)
+            elif cfg.precond == "amg":
+                from gmpnp_tpu.solve.amg import amg_preconditioner
+                pc = amg_preconditioner(ell, amg_plan)
             else:
                 pc = block_jacobi_preconditioner(ell)
             mv = ell.matvec
