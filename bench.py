@@ -216,7 +216,14 @@ def _build_pore_sweep(lanes=4):
     map-of-vmap, any lane values — crashes the tunneled TPU worker on
     execution at this mesh size (probes/probe_r3_p.py), and batching is
     slower anyway (one lane saturates the chip: 3,030 ms/lane-step
-    vmap-2 vs ~950 host-chunked)."""
+    vmap-2 vs ~950 host-chunked).
+
+    Armijo backtracking is ON (as in production full-length runs): from
+    the cold start at this mesh, plain damped Newton converges only the
+    V=-1.0 lane — the deeper lanes oscillate through the whole 50-iter
+    budget per step (V=-1.5) or go non-finite; with backtracking every
+    lane converges in 8-9 Newton iterations over the window, same as
+    V=-1.0."""
     import dataclasses
 
     import jax
@@ -237,7 +244,7 @@ def _build_pore_sweep(lanes=4):
                                 theta["co2_s1"])
         return bc.set_value_arith(s2, ns, theta["voltage"])
 
-    newton = dataclasses.replace(cfg.newton, loop="while")
+    newton = dataclasses.replace(cfg.newton, loop="while", backtracking=4)
     step = make_implicit_step(prog.space, prog.form, newton, cfg.linear,
                               bc_of_theta=bc_of_theta)
 
@@ -256,7 +263,7 @@ def _build_pore_sweep(lanes=4):
     u0 = jnp.ones((prog.space.num_vertices, nf)).at[:, ns].set(0.0)
     volts = jnp.asarray(np.linspace(-1.0, -2.5, lanes))
     key = (f"pore3d_sweep/L50R5/N{prog.space.num_vertices}"
-           f"/steps{N_STEPS}x{lanes}/slab-arith-host/{VER}")
+           f"/steps{N_STEPS}x{lanes}/slab-arith-host-bt/{VER}")
     return single, (u0, volts), key, prog.space.num_vertices
 
 
