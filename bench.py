@@ -153,13 +153,14 @@ def _build_rxn1d():
 def _build_edl_sweep(lanes=8):
     """Config-2 production operating point: 8-lane vmapped voltage sweep
     of the 1D EDL dry-run window (the reference runs these as independent
-    cluster jobs, README.md:37-39).  Armijo backtracking is ON, as in
-    production full-length runs (models/edl_1d auto-enables it): the
-    sweep spans the published voltage range down to V=-12.5, where plain
-    damped Newton diverges from the cold start at every dt
-    (probes/probe_r3_o.py) — without it the -12.5 lane is NaN."""
-    import dataclasses
-
+    cluster jobs, README.md:37-39).  Backtracking is ON with the
+    production sweep config (non-monotone bounded-growth acceptance,
+    parallel.sweep._sweep_newton): the sweep spans the published voltage
+    range down to V=-12.5, where plain damped Newton diverges from the
+    cold start at every dt (probes/probe_r3_o.py) — without recovery the
+    -12.5 lane is NaN.  The growth rule converges that lane in 231
+    Newton iterations over the window vs strict Armijo's 308 (Armijo
+    stalls on healthy transient overshoots)."""
     import jax
     import jax.numpy as jnp
 
@@ -172,7 +173,7 @@ def _build_edl_sweep(lanes=8):
     P = edl_1d.P
     left = np.unique(
         prog.mesh.facets[prog.mesh.facet_markers == 1].reshape(-1))
-    newton = dataclasses.replace(_sweep_newton(cfg.newton), backtracking=4)
+    newton = _sweep_newton(cfg.newton)
     step = make_implicit_step(
         prog.space, prog.form, newton, cfg.linear,
         bc_of_theta=lambda theta: prog.bc.arith().set_value_arith(
@@ -201,7 +202,7 @@ def _build_edl_sweep(lanes=8):
     u0v = jnp.stack([u0] * lanes)
     volts = jnp.asarray(np.linspace(-1.0, -12.5, lanes))
     key = (f"edl1d_sweep/1um/N{prog.space.num_vertices}"
-           f"/steps{n}x{lanes}/cr/{VER}")
+           f"/steps{n}x{lanes}/cr-btg4/{VER}")
     return run, (u0v, volts), key, n * lanes
 
 
@@ -227,12 +228,11 @@ def _build_pore_sweep(lanes=4):
     SHIPPED MESH for any Newton globalization tried (backtracking
     included; non-monotonic in V: -2.5 needs dt/8, -1.5 needs dt/32 —
     /tmp dt study 2026-08-18); the reference, which cold-starts the same
-    way with no recovery at all, would die identically there.  Armijo
-    backtracking stays ON as in production sweeps (parallel.sweep
-    _sweep_newton); for these healthy lanes the iterate sequence is
-    identical to plain damped Newton."""
-    import dataclasses
-
+    way with no recovery at all, would die identically there.
+    Backtracking stays ON with the production sweep config (non-monotone
+    bounded-growth rule, parallel.sweep._sweep_newton); for these
+    healthy lanes the iterate sequence is identical to plain damped
+    Newton."""
     import jax
     import jax.numpy as jnp
 
@@ -251,7 +251,8 @@ def _build_pore_sweep(lanes=4):
                                 theta["co2_s1"])
         return bc.set_value_arith(s2, ns, theta["voltage"])
 
-    newton = dataclasses.replace(cfg.newton, loop="while", backtracking=4)
+    from gmpnp_tpu.parallel.sweep import _sweep_newton
+    newton = _sweep_newton(cfg.newton)
     step = make_implicit_step(prog.space, prog.form, newton, cfg.linear,
                               bc_of_theta=bc_of_theta)
 
@@ -270,7 +271,7 @@ def _build_pore_sweep(lanes=4):
     u0 = jnp.ones((prog.space.num_vertices, nf)).at[:, ns].set(0.0)
     volts = jnp.asarray(np.linspace(-0.25, -1.0, lanes))
     key = (f"pore3d_sweep/L50R5/N{prog.space.num_vertices}"
-           f"/steps{N_STEPS}x{lanes}/v0.25-1.0-bt/{VER}")
+           f"/steps{N_STEPS}x{lanes}/v0.25-1.0-btg4/{VER}")
     return single, (u0, volts), key, prog.space.num_vertices
 
 

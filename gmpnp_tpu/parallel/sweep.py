@@ -97,7 +97,26 @@ def _sweep_newton(newton):
     NOTE: the sweep entry points FORCE loop='while' regardless of the
     caller's NewtonConfig.loop — the fori+cond form is never the right
     program under vmap (and crashed the TPU worker at 4 lanes,
-    docs/TPU_NOTES.md round-2 'lax.cond is the vmap tax')."""
+    docs/TPU_NOTES.md round-2 'lax.cond is the vmap tax').
+
+    Sweeps also default backtracking ON (4 halvings, non-monotone
+    bounded-growth acceptance, bt_growth=10) when the caller left
+    ``backtracking=0``: a sweep spans the published voltage range from
+    one cold start, and at reference mesh sizes plain damped Newton
+    converges only the shallow lanes (at the shipped N=3,679 3D mesh,
+    V=-1.5 oscillates through the whole iteration budget and deeper
+    lanes go non-finite; the 1D V=-12.5 lane diverges at every dt,
+    probes/probe_r3_o.py).  The growth rule accepts exactly the plain
+    damped-Newton step on every iteration whose residual grows by < 10x
+    — steps with no rejection keep the plain iterate sequence bit-for-
+    bit — and engages the halvings only on genuine blow-ups (strict
+    Armijo instead stalls ~8x on healthy steps whose full Newton step is
+    a mild transient overshoot; measured EDL dry-run overshoots reach
+    ~5x, while a V=-12.5 blow-up multiplies the residual by orders of
+    magnitude within one iteration).  Pass a nonzero backtracking to
+    control the rule explicitly."""
+    if newton.backtracking == 0:
+        newton = dataclasses.replace(newton, backtracking=4, bt_growth=10.0)
     return dataclasses.replace(newton, loop="while")
 
 

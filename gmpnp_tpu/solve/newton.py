@@ -46,6 +46,7 @@ def newton_solve(
     relaxation: float = 1.0,
     loop: str = "fori",
     backtracking: int = 0,
+    bt_growth: float = 0.0,
     carry_residual: bool = True,
 ) -> NewtonResult:
     """Solve F(u) = 0.
@@ -62,13 +63,25 @@ def newton_solve(
         via lax.cond once converged — semantically identical to the "while"
         variant, but avoids a Mosaic miscompile observed on TPU for
         while-in-while programs with gather-heavy (SSOR) preconditioners.
-    backtracking : number of Armijo backtracking halvings to try per Newton
+    backtracking : number of backtracking halvings to try per Newton
         iteration (0 = plain damped Newton, the reference-parity default;
         dolfin's NewtonSolver has no line search either).  With k > 0 the
         step length lambda is halved from ``relaxation`` up to k times until
-        ||r(u - lambda du)|| <= (1 - 1e-4 lambda) ||r(u)||; if no lambda
-        satisfies the Armijo test, the smallest trial step is taken anyway
-        (bounded-effort globalization, SURVEY.md §5 failure-recovery item).
+        the acceptance test passes; if no lambda passes, the smallest trial
+        step is taken anyway (bounded-effort globalization, SURVEY.md §5
+        failure-recovery item).
+    bt_growth : acceptance rule for backtracking trials.  0 (default) =
+        strict Armijo: ||r(u - lambda du)|| <= (1 - 1e-4 lambda) ||r(u)||.
+        g > 0 = NON-MONOTONE bounded growth: accept while
+        ||r_try|| <= g ||r||.  Newton trajectories on stiff coupled systems
+        routinely overshoot transiently — strict Armijo rejects those
+        healthy steps and crawls at the minimum step length (a measured
+        25-iteration stall on an EDL dry-run step that plain damped Newton
+        finishes in 3), while the growth rule accepts exactly the plain
+        damped-Newton step everywhere the residual grows by less than g,
+        engaging the halvings only for genuine blow-ups (non-finite or
+        >= g growth).  g ~ 4 is the production sweep default
+        (parallel.sweep._sweep_newton).
     carry_residual : carry the residual *vector* through the loop so each
         Newton iteration assembles it exactly once (the post-update residual
         doubles as the next iteration's solve RHS).  At N=3679 the f64
@@ -101,7 +114,11 @@ def newton_solve(
                 u_best, rn_best, accepted = carry
                 u_try = u - lam * du
                 rn_try = _l2(residual_fn(u_try))
-                armijo = rn_try <= (1.0 - 1e-4 * lam) * rn
+                if bt_growth > 0.0:
+                    # non-monotone bounded-growth acceptance (see docstring)
+                    armijo = rn_try <= bt_growth * rn
+                else:
+                    armijo = rn_try <= (1.0 - 1e-4 * lam) * rn
                 # first accepted lambda wins; otherwise keep the last
                 # (smallest) trial as the fallback iterate
                 take = (~accepted) & (armijo | (lam == lams[-1]))

@@ -45,9 +45,14 @@ class NewtonConfig:
     rtol: float = 1.0e-4
     atol: float = 1.0e-4
     relaxation: float = 1.0
-    # Armijo backtracking halvings per iteration (0 = plain damped Newton,
+    # backtracking halvings per iteration (0 = plain damped Newton,
     # the dolfin-parity default; see solve.newton.newton_solve)
     backtracking: int = 0
+    # backtracking acceptance rule: 0.0 = strict Armijo; g > 0 = accept
+    # while ||r_try|| <= g*||r|| (non-monotone bounded growth — identical
+    # to plain damped Newton on every step whose residual grows by < g,
+    # halving only on genuine blow-ups; see solve.newton.newton_solve)
+    bt_growth: float = 0.0
     # loop style: 'fori' (bounded fori_loop + lax.cond skip — the TPU-safe
     # default) or 'while'.  Under jax.vmap a lax.cond body is executed for
     # EVERY lane at EVERY trip (cond lowers to select), so a vmapped sweep
@@ -300,6 +305,7 @@ def make_implicit_step(
             relaxation=newton_cfg.relaxation,
             loop=newton_cfg.loop,
             backtracking=newton_cfg.backtracking,
+            bt_growth=newton_cfg.bt_growth,
             carry_residual=newton_cfg.carry_residual)
         stats = StepStats(
             newton_iters=res.iterations,

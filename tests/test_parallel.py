@@ -33,6 +33,7 @@ def test_edl_voltage_sweep_matches_sequential():
     hist_b, stats_b = run_edl_voltage_sweep(cfg, voltages, n_steps=3)
     assert hist_b.shape[0] == 3
 
+    assert bool(np.asarray(stats_b.converged).all())
     for i, v in enumerate(voltages):
         cfg_v = dataclasses.replace(cfg, voltage_multiplier=v)
         prog = edl_1d.build(cfg_v)
@@ -41,8 +42,16 @@ def test_edl_voltage_sweep_matches_sequential():
         # at roundoff-accumulation level, not bitwise
         np.testing.assert_allclose(
             np.asarray(hist_b[i]), np.asarray(hist), rtol=1e-7, atol=1e-7)
+        # sweeps default non-monotone bounded-growth backtracking ON
+        # (parallel.sweep._sweep_newton).  On steps where no trial is
+        # rejected the iterate sequence equals plain damped Newton, but
+        # cold-start steps genuinely engage the halvings, and the vmapped
+        # arith-BC program and the sequential baked-BC program sit on
+        # opposite sides of the rejection threshold at roundoff — so
+        # iteration counts agree only loosely; fields (above) and
+        # convergence are the guarantees
         assert (np.abs(np.asarray(stats_b.newton_iters[i])
-                       - np.asarray(stats.newton_iters)) <= 1).all()
+                       - np.asarray(stats.newton_iters)) <= 4).all()
 
 
 @pytest.mark.parametrize("n_dev,sh_linear", [

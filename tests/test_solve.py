@@ -266,3 +266,46 @@ def test_retrying_step_dt_cut():
     _, stats2, scale2 = jax.jit(retry2)(u0, {"dt": jnp.asarray(1.0)})
     assert not bool(stats2.converged)
     np.testing.assert_allclose(float(scale2), 0.5)
+
+
+def test_newton_bt_growth_bounds_explosions():
+    """Non-monotone bounded-growth backtracking (bt_growth > 0): the full
+    Newton step for F(u) = u^2 - 4 from u0 = 0.1 lands at u ~ 20 (residual
+    x100 — a genuine blow-up); the growth rule rejects it and halves into
+    the basin, converging in fewer iterations than plain damped Newton
+    climbing back down from the overshoot."""
+    def residual(u):
+        return u * u - 4.0
+
+    def lin(u, r):
+        return r / (2.0 * u), jnp.array(0, jnp.int32)
+
+    u0 = jnp.full((1,), 0.1)
+    plain = newton_solve(residual, lin, u0, rtol=1e-12, atol=1e-12,
+                         max_iter=30)
+    growth = newton_solve(residual, lin, u0, rtol=1e-12, atol=1e-12,
+                          max_iter=30, backtracking=4, bt_growth=4.0)
+    assert bool(plain.converged) and bool(growth.converged)
+    np.testing.assert_allclose(float(growth.u[0]), 2.0, rtol=1e-10)
+    assert int(growth.iterations) < int(plain.iterations)
+
+
+def test_newton_bt_growth_matches_plain_when_healthy():
+    """With bt_growth > 0 every step whose residual grows by < g accepts the
+    full damped step, so on a healthy problem the iterate sequence (and
+    iteration count) is identical to plain damped Newton — unlike strict
+    Armijo, which can stall on mild transient overshoots."""
+    def residual(u):
+        return u * u - 2.0
+
+    def lin(u, r):
+        return r / (2.0 * u), jnp.array(0, jnp.int32)
+
+    u0 = jnp.full((3,), 3.0)
+    plain = newton_solve(residual, lin, u0, rtol=1e-13, atol=1e-13,
+                         max_iter=40)
+    growth = newton_solve(residual, lin, u0, rtol=1e-13, atol=1e-13,
+                          max_iter=40, backtracking=4, bt_growth=4.0)
+    assert int(growth.iterations) == int(plain.iterations)
+    np.testing.assert_allclose(np.asarray(growth.u), np.asarray(plain.u),
+                               rtol=1e-14, atol=0)
