@@ -55,11 +55,16 @@ def build_parser():
                         "with dt halved up to K times (default: 3 for "
                         "full-length runs, 0 for --dry_run)")
     p.add_argument("--newton_backtracking", type=int, default=None,
-                   help="Armijo backtracking halvings per Newton iteration "
+                   help="backtracking halvings per Newton iteration "
                         "(default: auto — 4 for full-length runs, 0 = "
                         "reference-parity damped Newton for --dry_run; "
                         "plain Newton cannot start the V=-12.5 config, "
                         "probes/probe_r3_o.py)")
+    p.add_argument("--newton_bt_growth", type=float, default=None,
+                   help="backtracking acceptance rule: 0 = strict Armijo "
+                        "(default), g > 0 = accept while the residual grows "
+                        "by < g (non-monotone; the production sweep rule, "
+                        "solve.newton.newton_solve)")
     return p
 
 
@@ -85,6 +90,10 @@ def main(argv=None):
         import dataclasses
         cfg = dataclasses.replace(
             cfg, backtracking=args.newton_backtracking)
+    if args.newton_bt_growth is not None:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, newton=dataclasses.replace(
+            cfg.newton, bt_growth=args.newton_bt_growth))
     res = edl_1d.run(cfg, out_root=args.out_root, n_steps=args.n_steps,
                      record_stride=args.record_stride,
                      checkpoint_dir=args.checkpoint_dir,

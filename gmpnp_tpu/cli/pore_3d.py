@@ -45,8 +45,13 @@ def add_common_pore_args(p):
                         "with dt halved up to K times (default: 3 for "
                         "full-length runs, 0 with --n_steps)")
     p.add_argument("--newton_backtracking", type=int, default=None,
-                   help="Armijo backtracking halvings per Newton iteration "
+                   help="backtracking halvings per Newton iteration "
                         "(default 0 = reference-parity damped Newton)")
+    p.add_argument("--newton_bt_growth", type=float, default=None,
+                   help="backtracking acceptance rule: 0 = strict Armijo "
+                        "(default), g > 0 = accept while the residual grows "
+                        "by < g (non-monotone; the production sweep rule, "
+                        "solve.newton.newton_solve)")
 
 
 def build_parser():
@@ -87,10 +92,15 @@ def config_from_args(args, physics):
         kw["voltage_multiplier"] = args.voltage_multiplier
         kw["faithful"] = not args.corrected_fluxes
     cfg = pore_3d.Pore3DConfig(**kw)
+    newton_kw = {}
     if getattr(args, "newton_backtracking", None) is not None:
+        newton_kw["backtracking"] = args.newton_backtracking
+    if getattr(args, "newton_bt_growth", None) is not None:
+        newton_kw["bt_growth"] = args.newton_bt_growth
+    if newton_kw:
         import dataclasses
         cfg = dataclasses.replace(cfg, newton=dataclasses.replace(
-            cfg.newton, backtracking=args.newton_backtracking))
+            cfg.newton, **newton_kw))
     return cfg
 
 

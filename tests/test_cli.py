@@ -216,3 +216,14 @@ def test_edl_cli_yn_flag_parsing():
     assert p.parse_args(["--dry_run", "false"]).dry_run is False
     with pytest.raises(SystemExit):
         p.parse_args(["--dry_run", "maybe"])
+
+
+def test_newton_recovery_flags_thread_into_config():
+    """--newton_backtracking / --newton_bt_growth reach NewtonConfig."""
+    from gmpnp_tpu.cli.pore_3d import build_parser, config_from_args
+
+    args = build_parser().parse_args(
+        ["--newton_backtracking", "4", "--newton_bt_growth", "10.0"])
+    cfg = config_from_args(args, "GMPNP")
+    assert cfg.newton.backtracking == 4
+    assert cfg.newton.bt_growth == 10.0
