@@ -155,6 +155,135 @@ def block_tridiag_solve_cr(lower, diag, upper, rhs):
     return x[:N]
 
 
+class _CRLevel(NamedTuple):
+    """Per-level factors of a block-cyclic-reduction factorization.
+
+    h = m/2 rows at this level; alpha/gamma reduce the rhs downward,
+    A_od/C_od/Binv_od back-substitute the odd rows upward.  Binv_od is
+    shared between the reduction (left/right neighbor inverses) and the
+    back-substitution, so the factorization inverts each odd block ONCE
+    (the fused solve_cr inverts every odd block twice per level).
+    """
+    alpha: jnp.ndarray    # (h, f, f)  A_even @ inv(B_leftodd)
+    gamma: jnp.ndarray    # (h, f, f)  C_even @ inv(B_rightodd)
+    A_od: jnp.ndarray     # (h, f, f)  odd rows' lower band
+    C_od: jnp.ndarray     # (h, f, f)  odd rows' upper band
+    Binv_od: jnp.ndarray  # (h, f, f)  inverse of odd rows' diagonal
+
+
+class CRFactors(NamedTuple):
+    levels: Tuple[_CRLevel, ...]
+    Binv_top: jnp.ndarray   # (f, f) inverse of the final 1x1-block system
+
+
+def block_tridiag_factor_cr(lower, diag, upper) -> CRFactors:
+    """Factorization half of block cyclic reduction: everything that
+    depends only on the matrix.  Same reduction as
+    ``block_tridiag_solve_cr``; splitting factor from apply lets one
+    factorization serve many right-hand sides — in particular the f32
+    factorization reused every iteration of an f64 refinement loop
+    (``tridiag_mp_solve``), the 1D analogue of ``solve.slab``'s
+    mixed-precision recipe.
+    """
+    dtype = diag.dtype
+    N, f, _ = diag.shape
+    M = 1
+    while M < N:
+        M *= 2
+    n_pad = M - N
+    if n_pad:
+        eye = jnp.broadcast_to(jnp.eye(f, dtype=dtype), (n_pad, f, f))
+        zed = jnp.zeros((n_pad, f, f), dtype)
+        lower = jnp.concatenate([lower, zed])
+        diag = jnp.concatenate([diag, eye])
+        upper = jnp.concatenate([upper, zed])
+
+    A, B, C = lower, diag, upper
+    eye1 = jnp.eye(f, dtype=dtype)[None]
+    zed1 = jnp.zeros((1, f, f), dtype)
+    levels = []
+    while A.shape[0] > 1:
+        ev = jnp.arange(0, A.shape[0], 2)
+        od = ev + 1
+        A_od, B_od, C_od = A[od], B[od], C[od]
+        Binv_od = block_inv(B_od)
+        # even row 2j's left odd neighbor is 2j-1 (ghost identity at j=0),
+        # its right odd neighbor is 2j+1
+        Binv_left = jnp.concatenate([eye1, Binv_od[:-1]])
+        alpha = A[ev] @ Binv_left
+        gamma = C[ev] @ Binv_od
+        levels.append(_CRLevel(alpha, gamma, A_od, C_od, Binv_od))
+        A_left = jnp.concatenate([zed1, A_od[:-1]])
+        C_left = jnp.concatenate([zed1, C_od[:-1]])
+        A = -alpha @ A_left
+        B = B[ev] - alpha @ C_left - gamma @ A_od
+        C = -gamma @ C_od
+    return CRFactors(levels=tuple(levels), Binv_top=block_inv(B[0]))
+
+
+def block_tridiag_apply_cr(factors: CRFactors, rhs: jnp.ndarray) -> jnp.ndarray:
+    """Solve with a prepared CR factorization.  rhs: (N, f) in the
+    factorization's dtype (padded rows solve to 0 exactly)."""
+    N, f = rhs.shape
+    M = 2 ** len(factors.levels)
+    D = rhs
+    if M > N:
+        D = jnp.concatenate([D, jnp.zeros((M - N, f), rhs.dtype)])
+    zv1 = jnp.zeros((1, f), rhs.dtype)
+
+    odd_rhs = []
+    for lev in factors.levels:
+        D_ev, D_od = D[0::2], D[1::2]
+        odd_rhs.append(D_od)
+        D_left = jnp.concatenate([zv1, D_od[:-1]])
+        D = (D_ev
+             - jnp.einsum("nij,nj->ni", lev.alpha, D_left)
+             - jnp.einsum("nij,nj->ni", lev.gamma, D_od))
+
+    x = (factors.Binv_top @ D[0])[None]               # (1, f)
+    for lev, D_od in zip(reversed(factors.levels), reversed(odd_rhs)):
+        x_even = x
+        x_right = jnp.concatenate([x_even[1:], zv1])
+        r_od = (D_od
+                - jnp.einsum("nij,nj->ni", lev.A_od, x_even)
+                - jnp.einsum("nij,nj->ni", lev.C_od, x_right))
+        x_odd = jnp.einsum("nij,nj->ni", lev.Binv_od, r_od)
+        m = 2 * x_even.shape[0]
+        x = jnp.stack([x_even, x_odd], axis=1).reshape(m, f)
+    return x[:N]
+
+
+def tridiag_mp_solve(ell: BlockELL, rhs: jnp.ndarray,
+                     tol: float = 1.0e-8, max_refine: int = 40):
+    """Mixed-precision 1D direct solve — the ``solve.slab`` recipe on the
+    block-tridiagonal structure (UMFPACK slot, SURVEY.md §2b).
+
+    TPU f64 is emulated ~10x slower than native f32, so the all-f64
+    cyclic reduction pays the emulation tax on every one of its
+    log2(N) levels of batched f x f inverses.  Here: block-row
+    equilibration in f64 (diagonal blocks -> identity, keeping the f32
+    bands well ranged), ONE f32 CR factorization, then f64 CGS2-GMRES on
+    the equilibrated system preconditioned by the f32 CR apply —
+    converges to 1e-8-class accuracy in a handful of iterations, each a
+    cheap f32 apply (pure batched matmuls) plus one f64 tridiagonal
+    matvec.  Returns a KrylovResult in the rhs dtype.
+    """
+    Dinv0 = block_inv(ell.diag_blocks())
+    ell_eq = ell.scale_rows(Dinv0)
+    b = jnp.einsum("nfg,ng->nf", Dinv0, rhs)
+    lo, di, up = block_tridiag_from_ell(ell_eq)
+    fac = block_tridiag_factor_cr(lo.astype(jnp.float32),
+                                  di.astype(jnp.float32),
+                                  up.astype(jnp.float32))
+
+    def solve32(r):
+        x32 = block_tridiag_apply_cr(fac, r.astype(jnp.float32))
+        return x32.astype(rhs.dtype)
+
+    return gmres(ell_eq.matvec, b, Minv=solve32, tol=tol,
+                 restart=min(max_refine, 30), maxiter=max_refine)
+
+
 # ---------------------------------------------------------------------------
 # Preconditioners
 # ---------------------------------------------------------------------------

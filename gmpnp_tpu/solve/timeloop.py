@@ -103,7 +103,10 @@ class LinearConfig:
     # in native float32 (the TPU-fast path; f64 is emulated ~10x slower and
     # gather-bound) and returns the update in f64.  Inexact-Newton theory
     # (and the reference's 1e-4 Newton tolerances) only need ~1e-6 relative
-    # inner accuracy, which f32 delivers.
+    # inner accuracy, which f32 delivers.  For kind='tridiag_cr', "f32"
+    # selects the mixed-precision direct path (f32 CR factorization +
+    # f64 GMRES polish to `tol`, linear.tridiag_mp_solve) instead of the
+    # all-f64 cyclic reduction.
     solve_dtype: str = "f64"        # 'f64' | 'f32'
     # Krylov matvec backend: 'xla' (default) or 'pallas' (the hardware-
     # validated ops.ell_spmv kernel; f32 solve_dtype only — Pallas TPU has
@@ -225,6 +228,15 @@ def make_linear_solver(space: FemSpace, form: WeakForm, cfg: LinearConfig):
             ell = bc.apply_to_jacobian(ell_raw)
             zero = jnp.array(0, jnp.int32)
             if cfg.kind == "tridiag_cr":
+                if cfg.solve_dtype == "f32":
+                    # mixed-precision direct: f32 CR factorization as the
+                    # preconditioner of f64 GMRES on the equilibrated
+                    # system (the slab_direct recipe in 1D) — skips the
+                    # ~10x TPU f64-emulation tax on the factorization
+                    from gmpnp_tpu.solve.linear import tridiag_mp_solve
+                    res = tridiag_mp_solve(ell, r, tol=cfg.tol,
+                                           max_refine=cfg.max_refine)
+                    return res.x, res.iters
                 lo, di, up = block_tridiag_from_ell(ell)
                 return block_tridiag_solve_cr(lo, di, up, r), zero
             if cfg.kind == "tridiag_thomas":

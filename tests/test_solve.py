@@ -80,6 +80,64 @@ def test_tridiag_extraction_from_ell():
     np.testing.assert_allclose(x_band, x_dense, rtol=1e-9, atol=1e-11)
 
 
+@pytest.mark.parametrize("N,f", [(5, 1), (17, 3), (64, 7), (100, 2)])
+def test_cr_factor_apply_equals_fused(N, f):
+    """The factor/apply split reproduces the fused CR solve exactly
+    (same algebra, inverses computed once per odd block)."""
+    from gmpnp_tpu.solve import block_tridiag_apply_cr, block_tridiag_factor_cr
+
+    lower, diag, upper, rhs = _random_block_tridiag(N, f)
+    x_fused = np.asarray(block_tridiag_solve_cr(lower, diag, upper, rhs))
+    fac = block_tridiag_factor_cr(lower, diag, upper)
+    x_split = np.asarray(block_tridiag_apply_cr(fac, rhs))
+    np.testing.assert_allclose(x_split, x_fused, rtol=1e-11, atol=1e-13)
+
+
+def test_cr_factor_multiple_rhs_reuse():
+    """One factorization serves many right-hand sides."""
+    from gmpnp_tpu.solve import block_tridiag_apply_cr, block_tridiag_factor_cr
+
+    lower, diag, upper, _ = _random_block_tridiag(23, 3, seed=5)
+    A = _tridiag_to_dense(np.asarray(lower), np.asarray(diag),
+                          np.asarray(upper))
+    fac = block_tridiag_factor_cr(lower, diag, upper)
+    rng = np.random.default_rng(11)
+    for _ in range(3):
+        rhs = rng.normal(size=(23, 3))
+        x = np.asarray(block_tridiag_apply_cr(fac, jnp.asarray(rhs)))
+        x_ref = np.linalg.solve(A, rhs.reshape(-1)).reshape(23, 3)
+        np.testing.assert_allclose(x, x_ref, rtol=1e-9, atol=1e-10)
+
+
+def test_tridiag_mp_solve_vs_dense_edl_jacobian():
+    """Mixed-precision 1D direct (f32 CR factor + f64 GMRES polish,
+    the slab_direct recipe on the tridiagonal structure) solves a REAL
+    EDL Newton system to 1e-8-class accuracy vs the dense f64 oracle."""
+    import os
+
+    from gmpnp_tpu.models import edl_1d
+    from gmpnp_tpu.solve import tridiag_mp_solve
+
+    os.environ.setdefault("GMPNP_UTILITIES", "/root/reference/utilities")
+    cfg = edl_1d.EDL1DConfig(L_n=1.0e-6, dry_run=True)
+    prog = edl_1d.build(cfg)
+    N = prog.space.num_vertices
+    u0 = jnp.concatenate([jnp.ones((N, 6)), jnp.zeros((N, 1))], axis=1)
+    u = prog.bc.project(u0)
+    th = prog._theta_of_carry((u, jnp.asarray(0.001)), jnp.asarray(0))
+    ell = prog.bc.apply_to_jacobian(
+        prog.space.jacobian(prog.form, u, u0, th))
+    r = prog.bc.apply_to_residual(
+        prog.space.residual(prog.form, u, u0, th), u)
+
+    x_dense = np.asarray(dense_solve(ell, r))
+    res = tridiag_mp_solve(ell, r, tol=1e-10, max_refine=40)
+    assert bool(res.converged)
+    rel = (np.linalg.norm(np.asarray(res.x) - x_dense)
+           / np.linalg.norm(x_dense))
+    assert rel < 1e-8, rel
+
+
 def _random_sparse_system(N=40, f=3, seed=1):
     """Random diagonally-dominant BlockELL via a 1D assembly pattern."""
     m = uniform_interval_mesh(N)
