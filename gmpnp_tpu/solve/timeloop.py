@@ -106,7 +106,10 @@ class LinearConfig:
     # inner accuracy, which f32 delivers.  For kind='tridiag_cr', "f32"
     # selects the mixed-precision direct path (f32 CR factorization +
     # f64 GMRES polish to `tol`, linear.tridiag_mp_solve) instead of the
-    # all-f64 cyclic reduction.
+    # all-f64 cyclic reduction.  Measured on TPU at EDL size (N=1,091)
+    # the mixed path is 3.7x SLOWER than the fused f64 CR — 1D solves
+    # are launch-latency-bound, not emulation-bound (TPU_NOTES round 3,
+    # probe_r3_u) — so 'f64' stays the 1D default.
     solve_dtype: str = "f64"        # 'f64' | 'f32'
     # Krylov matvec backend: 'xla' (default) or 'pallas' (the hardware-
     # validated ops.ell_spmv kernel; f32 solve_dtype only — Pallas TPU has
