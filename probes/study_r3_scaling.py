@@ -136,7 +136,12 @@ def run_case(kind: str, arg: str):
             return u, iters
 
         u0 = jnp.ones((N, nf)).at[:, ns].set(0.0)
-        volts = np.linspace(-1.0, -2.5, lanes)
+        # the reference's 3D operating regime (bench.py _build_pore_sweep):
+        # cold starts beyond ~-1.5 exceed backward Euler's convergence
+        # basin on the shipped mesh (the first -1.0..-2.5 attempt faulted
+        # the worker at the -2.5 lane) — scaling-vs-lanes is measured on
+        # healthy lanes
+        volts = np.linspace(-0.25, -1.0, lanes)
         t0 = time.perf_counter()
         cc = jax.jit(single).lower(u0, jnp.asarray(volts[0])).compile()
         t_compile = time.perf_counter() - t0
