@@ -81,6 +81,30 @@ def _build_pore():
     return run, u0, key, prog.space.num_vertices
 
 
+def _build_pore_xl():
+    """Beyond-reference scale: 3D GMPNP at a generated 12,319-vertex
+    cylinder mesh — 3.3x the shipped reference mesh's DoFs (the largest
+    point of the round-3 scaling envelope, runs/study_r3_scaling.json;
+    ms/step stays near-linear in N with no VMEM wall)."""
+    import jax.numpy as jnp
+
+    from gmpnp_tpu.models import pore_3d
+    from gmpnp_tpu.solve.timeloop import make_implicit_step
+
+    os.environ.pop("GMPNP_UTILITIES", None)   # force the generator
+    cfg = pore_3d.Pore3DConfig(physics="GMPNP", L=50e-9, R=5e-9,
+                               mesh_resolution=(6, 96))
+    prog = pore_3d.build(cfg)
+    nf, ns = cfg.n_fields, len(cfg.species)
+    step = make_implicit_step(prog.space, prog.form, cfg.newton, cfg.linear,
+                              bc_of_theta=prog._bc_of_theta)
+    run = _scan_transient(prog, step, N_STEPS, jnp.asarray(0.0))
+    u0 = jnp.ones((prog.space.num_vertices, nf)).at[:, ns].set(0.0)
+    key = (f"pore3d_gmpnp_xl/gen6x96/N{prog.space.num_vertices}"
+           f"/steps{N_STEPS}/slab/{VER}")
+    return run, u0, key, prog.space.num_vertices
+
+
 def _build_rxn3d():
     """BASELINE config 4: 3D rxn-diff pore at the shipped L_50_R_5."""
     import jax.numpy as jnp
@@ -379,6 +403,14 @@ def _child(config: str) -> dict:
         rec["mesh_nodes"] = 3679
         return rec
 
+    if config == "xl":
+        rec = _transient_record(_build_pore_xl, "ms_per_step", accel)
+        rec["mesh_nodes"] = 12319
+        rec["note"] = ("beyond-reference scale: 3.3x the shipped mesh's "
+                       "DoFs; lanes 1-8 flat at the shipped mesh, see "
+                       "runs/study_r3_scaling.json")
+        return rec
+
     if config == "rxn3d":
         rec = _transient_record(_build_rxn3d, "ms_per_step", accel)
         rec["mesh_nodes"] = 3679
@@ -464,6 +496,7 @@ def main():
     only = sys.argv[1:] or None
     extra = {}
     for name, key, timeout in (("pore", "pore3d", 3000),
+                               ("xl", "pore3d_gmpnp_xl", 4200),
                                ("rxn3d", "pore3d_rxndiff", 3000),
                                ("edl", "edl1d", 2000),
                                ("rxn1d", "rxndiff1d", 2400),

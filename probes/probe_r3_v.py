@@ -103,25 +103,29 @@ def main():
 
     b = jnp.einsum("nfg,ng->nf", Dinv0, r)
 
-    def apply32(b):
+    # NB: factors/ell must be ARGUMENTS of the jitted fns — captured as
+    # closure constants they are baked into the program (~600 MB at this
+    # mesh) and blow the tunneled remote-compile request (HTTP 413)
+
+    def apply32(factors, b):
         ds = plan.to_slabs(b.astype(jnp.float32))
         xs = slab_solve(factors, ds)
         return plan.from_slabs(xs)
 
-    timed(apply32, b, label="apply32")
+    timed(apply32, factors, b, label="apply32")
 
-    def matvec64(x):
+    def matvec64(ell_eq, x):
         return ell_eq.matvec(x)
 
-    timed(matvec64, b, label="matvec64")
+    timed(matvec64, ell_eq, b, label="matvec64")
 
-    def polish(r):
+    def polish(ell, r):
         prep = slab_prepare(ell, plan)
         res = slab_apply(prep, r, plan, tol=cfg.linear.tol,
                          max_refine=cfg.linear.max_refine)
         return res.x, res.iters
 
-    (_, iters), _ = timed(polish, r, label="prep+pol")
+    (_, iters), _ = timed(polish, ell, r, label="prep+pol")
     print(f"  polish GMRES iters: {int(iters)}", flush=True)
 
     step = make_implicit_step(space, form, cfg.newton, cfg.linear,
