@@ -175,18 +175,16 @@ class SlabFactors(NamedTuple):
     Al: jnp.ndarray     # (S, m, m) original lower band
 
 
-def slab_factor_fused(ell: BlockELL, plan: SlabPlan,
-                      dtype=jnp.float32) -> SlabFactors:
-    """Band relayout fused into the block-Thomas elimination scan.
+def _band_of_slab_fn(ell: BlockELL, plan: SlabPlan, dtype=jnp.float32):
+    """Closure s -> (lower, diag, upper) bands of slab ``s``, each (m, m).
 
-    Building the full (S, m_v, 3m_v, f, f) band tensor before the factor
-    scan materializes an intermediate whose TPU tile padding expands it
-    ~6x — a 4-lane vmapped sweep at N=3679 hit 13 GB for it and OOMed HBM
-    at compile (BENCH run, 2026-08-17).  Here each scan step gathers only
-    its own slab's blocks (m_v, 3m_v, f, f), so peak temp memory is
-    ~30 MB per lane regardless of S."""
+    Gathering per slab (instead of materializing the full
+    (S, m_v, 3m_v, f, f) band tensor up front) keeps the peak temp at
+    ~30 MB per lane: the full tensor's (f, f)=(9, 9) trailing dims pad to
+    TPU tiles ~6x, and a 4-lane vmapped sweep at N=3679 hit 13 GB for it
+    and OOMed HBM at compile (BENCH run, 2026-08-17)."""
     N, K, f, _ = ell.shape4
-    m, m_v, S = plan.m, plan.m_v, plan.S
+    m, m_v = plan.m, plan.m_v
     blk = ell.blocks4().astype(dtype).reshape(N * K, f, f)
     blk = jnp.concatenate([blk, jnp.zeros((1, f, f), dtype)], axis=0)
     bidx = jnp.asarray(plan.bidx)                 # (S, m_v, 3m_v) int32
@@ -202,6 +200,16 @@ def slab_factor_fused(ell: BlockELL, plan: SlabPlan,
         is_pad = jnp.repeat(row_v >= plan.N, f)   # (m,)
         B = jnp.where(is_pad[:, None], eye_band, B)
         return B[:, :m], B[:, m:2 * m], B[:, 2 * m:]
+
+    return band_of_slab
+
+
+def slab_factor_fused(ell: BlockELL, plan: SlabPlan,
+                      dtype=jnp.float32) -> SlabFactors:
+    """Band relayout fused into the block-Thomas elimination scan (see
+    ``_band_of_slab_fn`` for why the gather happens per scan step)."""
+    m, S = plan.m, plan.S
+    band_of_slab = _band_of_slab_fn(ell, plan, dtype)
 
     def fwd(Cp_prev, s):
         A, Bd, C = band_of_slab(s)
@@ -259,6 +267,118 @@ def slab_solve(factors: SlabFactors, d: jnp.ndarray) -> jnp.ndarray:
     return xs
 
 
+class CRLevel(NamedTuple):
+    """One elimination level of the slab-granular block cyclic reduction.
+
+    Odd-position slabs of this level are eliminated; even positions form
+    the next (coarser) level.  ``L``/``U`` act on the even positions in
+    the downward RHS pass; ``invBo``/``Ao``/``Co`` reconstruct the odd
+    solutions in the upward pass."""
+
+    invBo: jnp.ndarray   # (n_odd, m, m) inverses of the odd diagonals
+    L: jnp.ndarray       # (n_even, m, m) A_even @ invBo[left]  (row 0 = 0)
+    U: jnp.ndarray       # (n_even, m, m) C_even @ invBo[right] (pad = 0)
+    Ao: jnp.ndarray      # (n_odd, m, m) original odd lower band
+    Co: jnp.ndarray      # (n_odd, m, m) original odd upper band
+
+
+class CRFactors(NamedTuple):
+    levels: tuple        # fine-to-coarse CRLevel records
+    root_inv: jnp.ndarray   # (m, m) inverse of the final single block
+
+
+def _cr_level(A: jnp.ndarray, B: jnp.ndarray, C: jnp.ndarray):
+    """One block-cyclic-reduction elimination step on (S, m, m) bands.
+
+    Returns the level record plus the (ceil(S/2), m, m) bands of the
+    Schur complement on the even positions.  All inversions in the level
+    are BATCHED (n_odd at once) — the whole point vs block-Thomas, whose
+    S inversions are sequential through the elimination recurrence."""
+    S, m = A.shape[0], A.shape[1]
+    no, ne = S // 2, (S + 1) // 2
+    Ao, Bo, Co = A[1::2], B[1::2], C[1::2]
+    Ae, Be, Ce = A[0::2], B[0::2], C[0::2]
+    invBo = jnp.linalg.inv(Bo)
+    zero = jnp.zeros((1, m, m), A.dtype)
+
+    # L_j = A[2j] @ invBo[j-1]  (j >= 1; slab 0 has no left neighbor)
+    L = jnp.concatenate([zero, Ae[1:] @ invBo[:ne - 1]], axis=0)
+    # U_j = C[2j] @ invBo[j]    (valid while 2j+1 <= S-1, i.e. j < no)
+    U = Ce[:no] @ invBo
+    if ne > no:
+        U = jnp.concatenate([U, zero], axis=0)
+
+    Co_prev = jnp.concatenate([zero, Co[:ne - 1]], axis=0)   # C[2j-1]
+    Ao_next = Ao if ne == no else jnp.concatenate([Ao, zero], axis=0)
+    B2 = Be - L @ Co_prev - U @ Ao_next
+    A2 = -jnp.concatenate([zero, L[1:] @ Ao[:ne - 1]], axis=0)
+    C2 = -(U[:no] @ Co)
+    if ne > no:
+        C2 = jnp.concatenate([C2, zero], axis=0)
+    return CRLevel(invBo=invBo, L=L, U=U, Ao=Ao, Co=Co), (A2, B2, C2)
+
+
+def slab_factor_cr(lower: jnp.ndarray, diag: jnp.ndarray,
+                   upper: jnp.ndarray) -> CRFactors:
+    """Block cyclic reduction over slabs: ceil(log2 S) levels of BATCHED
+    m x m inversions and matmuls instead of block-Thomas's S sequential
+    inversions.
+
+    ~3x the matmul FLOPs of Thomas, but every inversion at a level runs
+    as one batched ``jnp.linalg.inv`` — on TPU a single m ~ 1.5k inverse
+    is panel-sequential and starves the MXU, so the factor phase is
+    latency-bound at ~10 ms per slab (probe_r3_x).  Same recurrence the
+    1D direct solver uses per-vertex (solve/linear.py block CR), lifted
+    to slab granularity."""
+    levels = []
+    A, B, C = lower, diag, upper
+    while A.shape[0] > 1:
+        lvl, (A, B, C) = _cr_level(A, B, C)
+        levels.append(lvl)
+    return CRFactors(levels=tuple(levels), root_inv=jnp.linalg.inv(B[0]))
+
+
+def slab_factor_cr_fused(ell: BlockELL, plan: SlabPlan,
+                         dtype=jnp.float32) -> CRFactors:
+    """Band relayout (per-slab gather, see ``_band_of_slab_fn``) followed
+    by the cyclic-reduction factorization."""
+    band_of_slab = _band_of_slab_fn(ell, plan, dtype)
+    lo, di, up = jax.lax.map(band_of_slab,
+                             jnp.arange(plan.S, dtype=jnp.int32))
+    return slab_factor_cr(lo, di, up)
+
+
+def slab_solve_cr(factors: CRFactors, d: jnp.ndarray) -> jnp.ndarray:
+    """Solve with a CR factorization; d, result: (S, m) or (S, m, k).
+
+    2*ceil(log2 S) batched stages vs block-Thomas's 2S sequential scan
+    steps — the same FLOPs, far fewer serialization points."""
+    vec = d.ndim == 2
+    if vec:
+        d = d[..., None]
+    stack = []
+    for lvl in factors.levels:
+        do, de = d[1::2], d[0::2]
+        no, ne = do.shape[0], de.shape[0]
+        zero = jnp.zeros((1,) + d.shape[1:], d.dtype)
+        do_prev = jnp.concatenate([zero, do[:ne - 1]], axis=0)
+        do_next = do if ne == no else jnp.concatenate([do, zero], axis=0)
+        stack.append(do)
+        d = de - lvl.L @ do_prev - lvl.U @ do_next
+    x = (factors.root_inv @ d[0])[None]           # (1, m, k)
+    for lvl, do in zip(reversed(factors.levels), reversed(stack)):
+        no, ne = do.shape[0], x.shape[0]
+        if no < ne:
+            xe_next = x[1:no + 1]
+        else:
+            zero = jnp.zeros((1,) + x.shape[1:], x.dtype)
+            xe_next = jnp.concatenate([x[1:], zero], axis=0)
+        xo = lvl.invBo @ (do - lvl.Ao @ x[:no] - lvl.Co @ xe_next)
+        out = jnp.zeros((no + ne,) + x.shape[1:], x.dtype)
+        x = out.at[0::2].set(x).at[1::2].set(xo)
+    return x[..., 0] if vec else x
+
+
 class SlabSolveResult(NamedTuple):
     x: jnp.ndarray
     resnorm: jnp.ndarray
@@ -276,15 +396,21 @@ class SlabPrepared(NamedTuple):
     ~500 ms of a ~1000 ms Newton iteration at N=3679 (probe_r2_g)."""
     ell_eq: BlockELL          # equilibrated matrix (f64)
     Dinv0: jnp.ndarray        # (N, f, f) block-row scaling
-    factors: SlabFactors      # f32 block-Thomas factorization
+    factors: object           # f32 SlabFactors (Thomas) or CRFactors
 
 
-def slab_prepare(ell: BlockELL, plan: SlabPlan) -> SlabPrepared:
-    """Equilibrate in f64, relayout to bands, factor in f32."""
+def slab_prepare(ell: BlockELL, plan: SlabPlan,
+                 mode: str = "thomas") -> SlabPrepared:
+    """Equilibrate in f64, relayout to bands, factor in f32.
+
+    mode='thomas': sequential block-Thomas scan (S sequential m x m
+    inversions); mode='cr': slab-granular block cyclic reduction (batched
+    inversions, ceil(log2 S) levels) — see slab_factor_cr."""
     Dinv0 = block_inv(ell.diag_blocks())
     ell_eq = ell.scale_rows(Dinv0)
+    factor = slab_factor_cr_fused if mode == "cr" else slab_factor_fused
     return SlabPrepared(ell_eq=ell_eq, Dinv0=Dinv0,
-                        factors=slab_factor_fused(ell_eq, plan))
+                        factors=factor(ell_eq, plan))
 
 
 def slab_apply(
@@ -300,10 +426,12 @@ def slab_apply(
 
     out_dtype = rhs.dtype
     b = jnp.einsum("nfg,ng->nf", prep.Dinv0, rhs)
+    solver = (slab_solve_cr if isinstance(prep.factors, CRFactors)
+              else slab_solve)
 
     def solve32(r64):
         ds = plan.to_slabs(r64.astype(jnp.float32))
-        xs = slab_solve(prep.factors, ds)
+        xs = solver(prep.factors, ds)
         return plan.from_slabs(xs).astype(out_dtype)
 
     res = gmres(prep.ell_eq.matvec, b, Minv=solve32, tol=tol,
@@ -318,6 +446,7 @@ def slab_direct_solve(
     plan: SlabPlan,
     tol: float = 1.0e-8,
     max_refine: int = 40,
+    mode: str = "thomas",
 ) -> SlabSolveResult:
     """Mixed-precision direct solve of ``ell @ x = rhs``.
 
@@ -332,5 +461,5 @@ def slab_direct_solve(
        in a handful of iterations.  ``iters`` reports GMRES iterations
        (each = one f32 banded solve + one f64 matvec).
     """
-    return slab_apply(slab_prepare(ell, plan), rhs, plan,
+    return slab_apply(slab_prepare(ell, plan, mode=mode), rhs, plan,
                       tol=tol, max_refine=max_refine)

@@ -84,6 +84,13 @@ class LinearConfig:
     # factorization) and an optional cap on slab count (None = bandwidth)
     max_refine: int = 40
     max_slabs: Optional[int] = None
+    # slab_direct factorization algorithm: 'thomas' (sequential block-
+    # Thomas scan — S sequential m x m inversions) or 'cr' (slab-granular
+    # block cyclic reduction — ceil(log2 S) levels of BATCHED inversions;
+    # ~3x the matmul FLOPs but each level's inverses run as one batched
+    # jnp.linalg.inv, where a single m~1.5k inverse is panel-sequential
+    # and starves the MXU).  See solve/slab.py slab_factor_cr.
+    slab_mode: str = "thomas"
     # Jacobian refresh policy for slab_direct: 'iter' re-assembles and
     # re-factors at every Newton iterate (exact Newton, the DOLFIN-parity
     # default); 'step' factors ONCE per time step at the start iterate and
@@ -141,6 +148,9 @@ def _validate_linear_config(cfg: LinearConfig) -> None:
     if cfg.refresh not in ("iter", "step"):
         raise ValueError(f"refresh must be 'iter' or 'step', got "
                          f"{cfg.refresh!r}")
+    if cfg.slab_mode not in ("thomas", "cr"):
+        raise ValueError(f"slab_mode must be 'thomas' or 'cr', got "
+                         f"{cfg.slab_mode!r}")
     if cfg.matvec not in ("xla", "pallas"):
         raise ValueError(f"matvec must be 'xla' or 'pallas', got "
                          f"{cfg.matvec!r}")
@@ -208,7 +218,8 @@ def make_linear_solver(space: FemSpace, form: WeakForm, cfg: LinearConfig):
             # starts at bc.project(u_prev)), reuse for all iterations
             from gmpnp_tpu.solve.slab import slab_apply, slab_prepare
             u0 = bc.project(u_prev)
-            prep = slab_prepare(assemble(u0, u0.dtype), slab_plan)
+            prep = slab_prepare(assemble(u0, u0.dtype), slab_plan,
+                                mode=cfg.slab_mode)
 
             def lin_frozen(u, r):
                 res = slab_apply(prep, r, slab_plan, tol=cfg.tol,
@@ -250,7 +261,8 @@ def make_linear_solver(space: FemSpace, form: WeakForm, cfg: LinearConfig):
             if cfg.kind == "slab_direct":
                 from gmpnp_tpu.solve.slab import slab_direct_solve
                 res = slab_direct_solve(ell, r, slab_plan, tol=cfg.tol,
-                                        max_refine=cfg.max_refine)
+                                        max_refine=cfg.max_refine,
+                                        mode=cfg.slab_mode)
                 return res.x, res.iters
             out_dtype = r.dtype
             if cfg.solve_dtype == "f32":
