@@ -78,7 +78,7 @@ def _build_pore():
     u0 = jnp.ones((prog.space.num_vertices, nf)).at[:, ns].set(0.0)
     key = (f"pore3d_gmpnp/L50R5/N{prog.space.num_vertices}"
            f"/steps{N_STEPS}/slab/{VER}")
-    return run, u0, key, prog.space.num_vertices
+    return run, u0, key, N_STEPS
 
 
 def _build_pore_xl():
@@ -102,7 +102,7 @@ def _build_pore_xl():
     u0 = jnp.ones((prog.space.num_vertices, nf)).at[:, ns].set(0.0)
     key = (f"pore3d_gmpnp_xl/gen6x96/N{prog.space.num_vertices}"
            f"/steps{N_STEPS}/slab/{VER}")
-    return run, u0, key, prog.space.num_vertices
+    return run, u0, key, N_STEPS
 
 
 def _build_rxn3d():
@@ -120,7 +120,7 @@ def _build_rxn3d():
     u0 = jnp.ones((prog.space.num_vertices, cfg.n_fields))
     key = (f"pore3d_rxndiff/L50R5/N{prog.space.num_vertices}"
            f"/steps{N_STEPS}/slab/{VER}")
-    return run, u0, key, prog.space.num_vertices
+    return run, u0, key, N_STEPS
 
 
 def _build_edl():
