@@ -293,28 +293,43 @@ def _cr_level(A: jnp.ndarray, B: jnp.ndarray, C: jnp.ndarray):
     Returns the level record plus the (ceil(S/2), m, m) bands of the
     Schur complement on the even positions.  All inversions in the level
     are BATCHED (n_odd at once) — the whole point vs block-Thomas, whose
-    S inversions are sequential through the elimination recurrence."""
+    S inversions are sequential through the elimination recurrence.
+
+    Odd S is padded to even with a decoupled identity row (A=C=0, B=I)
+    at the (odd) tail position, and odd/even blocks are de-interleaved
+    with a contiguous reshape instead of stride-2 slicing: on the
+    tunneled TPU runtime, a strided slice feeding a batched
+    ``jnp.linalg.inv`` reliably kernel-faults the worker while the
+    reshape form of the identical computation executes fine
+    (probes/probe_r3_x.py; same vendored-Mosaic bug family as the SSOR
+    and vmapped-lax.cond faults, docs/TPU_NOTES.md)."""
     S, m = A.shape[0], A.shape[1]
-    no, ne = S // 2, (S + 1) // 2
-    Ao, Bo, Co = A[1::2], B[1::2], C[1::2]
-    Ae, Be, Ce = A[0::2], B[0::2], C[0::2]
+    if S % 2 == 1:   # pad: x_pad = d_pad, fully decoupled
+        eye = jnp.eye(m, dtype=A.dtype)[None]
+        zpad = jnp.zeros((1, m, m), A.dtype)
+        A = jnp.concatenate([A, zpad], axis=0)
+        B = jnp.concatenate([B, eye], axis=0)
+        C = jnp.concatenate([C, zpad], axis=0)
+        S += 1
+    h = S // 2
+    A2e = A.reshape(h, 2, m, m)
+    B2e = B.reshape(h, 2, m, m)
+    C2e = C.reshape(h, 2, m, m)
+    Ae, Ao = A2e[:, 0], A2e[:, 1]
+    Be, Bo = B2e[:, 0], B2e[:, 1]
+    Ce, Co = C2e[:, 0], C2e[:, 1]
     invBo = jnp.linalg.inv(Bo)
     zero = jnp.zeros((1, m, m), A.dtype)
 
     # L_j = A[2j] @ invBo[j-1]  (j >= 1; slab 0 has no left neighbor)
-    L = jnp.concatenate([zero, Ae[1:] @ invBo[:ne - 1]], axis=0)
-    # U_j = C[2j] @ invBo[j]    (valid while 2j+1 <= S-1, i.e. j < no)
-    U = Ce[:no] @ invBo
-    if ne > no:
-        U = jnp.concatenate([U, zero], axis=0)
+    L = jnp.concatenate([zero, Ae[1:] @ invBo[:h - 1]], axis=0)
+    # U_j = C[2j] @ invBo[j]    (the padded tail's Ce row is zero)
+    U = Ce @ invBo
 
-    Co_prev = jnp.concatenate([zero, Co[:ne - 1]], axis=0)   # C[2j-1]
-    Ao_next = Ao if ne == no else jnp.concatenate([Ao, zero], axis=0)
-    B2 = Be - L @ Co_prev - U @ Ao_next
-    A2 = -jnp.concatenate([zero, L[1:] @ Ao[:ne - 1]], axis=0)
-    C2 = -(U[:no] @ Co)
-    if ne > no:
-        C2 = jnp.concatenate([C2, zero], axis=0)
+    Co_prev = jnp.concatenate([zero, Co[:h - 1]], axis=0)    # C[2j-1]
+    B2 = Be - L @ Co_prev - U @ Ao
+    A2 = -jnp.concatenate([zero, L[1:] @ Ao[:h - 1]], axis=0)
+    C2 = -(U @ Co)
     return CRLevel(invBo=invBo, L=L, U=U, Ao=Ao, Co=Co), (A2, B2, C2)
 
 
@@ -345,6 +360,10 @@ def slab_factor_cr_fused(ell: BlockELL, plan: SlabPlan,
     band_of_slab = _band_of_slab_fn(ell, plan, dtype)
     lo, di, up = jax.lax.map(band_of_slab,
                              jnp.arange(plan.S, dtype=jnp.int32))
+    # barrier: fusing the band gather into the CR level kernels faults
+    # the tunneled TPU runtime (the two-program split of the identical
+    # computation executes fine — probes/probe_r3_x.py)
+    lo, di, up = jax.lax.optimization_barrier((lo, di, up))
     return slab_factor_cr(lo, di, up)
 
 
@@ -358,24 +377,26 @@ def slab_solve_cr(factors: CRFactors, d: jnp.ndarray) -> jnp.ndarray:
         d = d[..., None]
     stack = []
     for lvl in factors.levels:
-        do, de = d[1::2], d[0::2]
-        no, ne = do.shape[0], de.shape[0]
+        S_l = d.shape[0]
+        if S_l % 2 == 1:
+            d = jnp.concatenate(
+                [d, jnp.zeros((1,) + d.shape[1:], d.dtype)], axis=0)
+        h = d.shape[0] // 2
+        d2 = d.reshape(h, 2, *d.shape[1:])
+        de, do = d2[:, 0], d2[:, 1]
         zero = jnp.zeros((1,) + d.shape[1:], d.dtype)
-        do_prev = jnp.concatenate([zero, do[:ne - 1]], axis=0)
-        do_next = do if ne == no else jnp.concatenate([do, zero], axis=0)
-        stack.append(do)
-        d = de - lvl.L @ do_prev - lvl.U @ do_next
+        do_prev = jnp.concatenate([zero, do[:h - 1]], axis=0)
+        stack.append((do, S_l))
+        d = de - lvl.L @ do_prev - lvl.U @ do
     x = (factors.root_inv @ d[0])[None]           # (1, m, k)
-    for lvl, do in zip(reversed(factors.levels), reversed(stack)):
-        no, ne = do.shape[0], x.shape[0]
-        if no < ne:
-            xe_next = x[1:no + 1]
-        else:
-            zero = jnp.zeros((1,) + x.shape[1:], x.dtype)
-            xe_next = jnp.concatenate([x[1:], zero], axis=0)
-        xo = lvl.invBo @ (do - lvl.Ao @ x[:no] - lvl.Co @ xe_next)
-        out = jnp.zeros((no + ne,) + x.shape[1:], x.dtype)
-        x = out.at[0::2].set(x).at[1::2].set(xo)
+    for lvl, (do, S_l) in zip(reversed(factors.levels), reversed(stack)):
+        h = do.shape[0]
+        zero = jnp.zeros((1,) + x.shape[1:], x.dtype)
+        xe_next = jnp.concatenate([x[1:], zero], axis=0)
+        xo = lvl.invBo @ (do - lvl.Ao @ x - lvl.Co @ xe_next)
+        x = jnp.stack([x, xo], axis=1).reshape(2 * h, *x.shape[1:])
+        if S_l % 2 == 1:
+            x = x[:S_l]
     return x[..., 0] if vec else x
 
 
