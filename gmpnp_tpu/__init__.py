@@ -33,3 +33,12 @@ import jax as _jax
 # demands f64.  TPU emulates f64; models that can tolerate it may opt into
 # f32 via config.  This must happen before any arrays are created.
 _jax.config.update("jax_enable_x64", True)
+
+# NOTE on matmul precision: f64 dots/einsums on TPU are exact at default
+# precision (round-3 forensics: the f64 volume-Jacobian assembly matches
+# CPU to 3.5e-12, probes/probe_r3_ab.py), so no global
+# jax_default_matmul_precision override is needed.  f32 dots at default
+# precision DO run bf16-grade passes on TPU (a well-conditioned m=1197
+# D @ inv(D) check errs by 1.1 at default vs 6.1e-5 at HIGHEST); the f32
+# code paths that care (the slab direct solver) request
+# Precision.HIGHEST explicitly at their call sites (solve/slab.py).

@@ -249,13 +249,23 @@ class FemSpace:
         # embedded as program constants directly; storing them as device
         # arrays would force a device->host fetch per table at every
         # lowering (catastrophic on tunneled accelerators).
+        K = adj.shape[1]
         ftabs = []
         for m, t in sorted(_facet_tables(mesh, facet_quad_degree).items()):
             t = dict(t)
             t["slot"] = _node_slot(t["nodes"], adj)
-            ftabs.append((m, {k: np.asarray(v) for k, v in t.items()}))
-
-        K = adj.shape[1]
+            # sorted-segment tables reducing this marker's facet Jacobians
+            # onto (vertex, adjacency-slot) block ids — same machinery as
+            # the volume reduction.  A 2D flat.at[rows, cols].add scatter
+            # here miscompiles on TPU when fused with the volume assembly
+            # (probes/probe_r3_ab.py: 0.17 max-abs garbage vs a 2.1e-7
+            # facet scale; both stages exact in isolation, probe_r3_ac.py).
+            fjac_dest = (t["nodes"][:, :, None].astype(np.int64) * K
+                         + t["slot"]).reshape(-1)
+            t["jac_tables"] = _sorted_segment_tables(
+                fjac_dest, mesh.num_vertices * K)
+            ftabs.append((m, {k: np.asarray(v) if not isinstance(v, tuple)
+                              else v for k, v in t.items()}))
         res_tables = _sorted_segment_tables(
             mesh.cells.reshape(-1), mesh.num_vertices)
         jac_dest = (mesh.cells[:, :, None].astype(np.int64) * K
@@ -471,8 +481,6 @@ class FemSpace:
         blocks = _segment_reduce(
             J_e.astype(u.dtype).reshape(C * nv * nv, f * f),
             *self.jac_tables)
-        flat = (blocks.reshape(N, K, f, f)
-                .swapaxes(1, 2).reshape(N, f * K * f))
 
         for marker, tab in self.facet_tabs:
             fn = form.boundary.get(marker)
@@ -487,11 +495,19 @@ class FemSpace:
 
             # facet Jacobians stay f64 regardless of ``dtype``: they are
             # tiny (boundary facets only) and the boundary-flux closures
-            # mix f64 constants that break mixed-precision tracing
+            # mix f64 constants that break mixed-precision tracing.
+            # Reduced scatter-free onto the same (vertex, slot) block ids
+            # as the volume terms: the previous flat.at[rows, cols].add
+            # formulation compiled to garbage on TPU when fused with the
+            # volume assembly (probes/probe_r3_ab.py, probe_r3_ac.py).
             Jf = jax.vmap(local_fjac)(u[tab["nodes"]], tab["meas"],
                                       tab["xq"])
-            frows, fcols = self._scatter_tables(tab["nodes"], tab["slot"])
-            flat = flat.at[frows, fcols].add(Jf)
+            Fc, fnv = tab["nodes"].shape
+            blocks = blocks + _segment_reduce(
+                Jf.astype(u.dtype).reshape(Fc * fnv * fnv, f * f),
+                *tab["jac_tables"])
 
+        flat = (blocks.reshape(N, K, f, f)
+                .swapaxes(1, 2).reshape(N, f * K * f))
         return BlockELL(adj=self.adj, flat=flat.reshape(N, f, K * f),
                         diag_slot=self.diag_slot)

@@ -40,6 +40,36 @@ import numpy as np
 from gmpnp_tpu.fem.assembly import BlockELL
 from gmpnp_tpu.solve.smallblock import block_inv
 
+# All slab-path matmuls run at HIGHEST precision, and every m x m inverse
+# gets one Newton-Schulz refinement pass.  On TPU, f32 dots at default
+# precision run bf16-grade passes: a well-conditioned m=1197 D @ inv(D)
+# check errs by 1.1 at default precision vs 6.1e-5 at HIGHEST
+# (round-3 forensics, probes/probe_r3_z.py follow-ups).  The elimination
+# recurrence compounds that per-level error over 2S scan steps, so the
+# factor/solve sweeps request HIGHEST explicitly (6-pass f32-exact
+# matmuls; the factor phase is latency-bound, not FLOP-bound, so the
+# extra passes are ~free), and one Newton-Schulz step X <- X(2I - AX)
+# squares the inverse's residual (~6e-5 for jnp.linalg.inv at m~1.2k on
+# TPU -> ~4e-9, below f32 eps).  NOTE: the round-3 rxn_diff TPU
+# divergence this was first suspected for turned out to be a broken
+# facet-Jacobian scatter in assembly (probes/probe_r3_ab.py) — the
+# precision hardening here is kept for factorization quality, not as
+# that bug's fix.
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _mm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.matmul(a, b, precision=_HI)
+
+
+def _inv_refined(A: jnp.ndarray, steps: int = 1) -> jnp.ndarray:
+    """Batched (..., m, m) inverse: jnp.linalg.inv + Newton-Schulz."""
+    X = jnp.linalg.inv(A)
+    eye = jnp.eye(A.shape[-1], dtype=A.dtype)
+    for _ in range(steps):
+        X = _mm(X, 2.0 * eye - _mm(A, X))
+    return X
+
 
 @dataclass(frozen=True)
 class SlabPlan:
@@ -213,9 +243,9 @@ def slab_factor_fused(ell: BlockELL, plan: SlabPlan,
 
     def fwd(Cp_prev, s):
         A, Bd, C = band_of_slab(s)
-        denom = Bd - A @ Cp_prev
-        Dinv = jnp.linalg.inv(denom)
-        Cp = Dinv @ C
+        denom = Bd - _mm(A, Cp_prev)
+        Dinv = _inv_refined(denom)
+        Cp = _mm(Dinv, C)
         return Cp, (Dinv, Cp, A)
 
     _, (Dinvs, Cps, Als) = jax.lax.scan(
@@ -232,9 +262,9 @@ def slab_factor(lower: jnp.ndarray, diag: jnp.ndarray,
 
     def fwd(Cp_prev, inp):
         A, B, C = inp
-        denom = B - A @ Cp_prev
-        Dinv = jnp.linalg.inv(denom)
-        Cp = Dinv @ C
+        denom = B - _mm(A, Cp_prev)
+        Dinv = _inv_refined(denom)
+        Cp = _mm(Dinv, C)
         return Cp, (Dinv, Cp)
 
     _, (Dinvs, Cps) = jax.lax.scan(
@@ -252,14 +282,14 @@ def slab_solve(factors: SlabFactors, d: jnp.ndarray) -> jnp.ndarray:
 
     def fwd(dp_prev, inp):
         Dinv, A, di = inp
-        dp = Dinv @ (di - A @ dp_prev)
+        dp = _mm(Dinv, di - _mm(A, dp_prev))
         return dp, dp
 
     _, dps = jax.lax.scan(fwd, jnp.zeros(d.shape[1:], dtype), (Dinvs, Al, d))
 
     def bwd(x_next, inp):
         Cp, dp = inp
-        x = dp - Cp @ x_next
+        x = dp - _mm(Cp, x_next)
         return x, x
 
     _, xs = jax.lax.scan(bwd, jnp.zeros(d.shape[1:], dtype), (Cps, dps),
@@ -318,18 +348,18 @@ def _cr_level(A: jnp.ndarray, B: jnp.ndarray, C: jnp.ndarray):
     Ae, Ao = A2e[:, 0], A2e[:, 1]
     Be, Bo = B2e[:, 0], B2e[:, 1]
     Ce, Co = C2e[:, 0], C2e[:, 1]
-    invBo = jnp.linalg.inv(Bo)
+    invBo = _inv_refined(Bo)
     zero = jnp.zeros((1, m, m), A.dtype)
 
     # L_j = A[2j] @ invBo[j-1]  (j >= 1; slab 0 has no left neighbor)
-    L = jnp.concatenate([zero, Ae[1:] @ invBo[:h - 1]], axis=0)
+    L = jnp.concatenate([zero, _mm(Ae[1:], invBo[:h - 1])], axis=0)
     # U_j = C[2j] @ invBo[j]    (the padded tail's Ce row is zero)
-    U = Ce @ invBo
+    U = _mm(Ce, invBo)
 
     Co_prev = jnp.concatenate([zero, Co[:h - 1]], axis=0)    # C[2j-1]
-    B2 = Be - L @ Co_prev - U @ Ao
-    A2 = -jnp.concatenate([zero, L[1:] @ Ao[:h - 1]], axis=0)
-    C2 = -(U @ Co)
+    B2 = Be - _mm(L, Co_prev) - _mm(U, Ao)
+    A2 = -jnp.concatenate([zero, _mm(L[1:], Ao[:h - 1])], axis=0)
+    C2 = -_mm(U, Co)
     return CRLevel(invBo=invBo, L=L, U=U, Ao=Ao, Co=Co), (A2, B2, C2)
 
 
@@ -350,7 +380,7 @@ def slab_factor_cr(lower: jnp.ndarray, diag: jnp.ndarray,
     while A.shape[0] > 1:
         lvl, (A, B, C) = _cr_level(A, B, C)
         levels.append(lvl)
-    return CRFactors(levels=tuple(levels), root_inv=jnp.linalg.inv(B[0]))
+    return CRFactors(levels=tuple(levels), root_inv=_inv_refined(B[0]))
 
 
 def slab_factor_cr_fused(ell: BlockELL, plan: SlabPlan,
@@ -387,13 +417,13 @@ def slab_solve_cr(factors: CRFactors, d: jnp.ndarray) -> jnp.ndarray:
         zero = jnp.zeros((1,) + d.shape[1:], d.dtype)
         do_prev = jnp.concatenate([zero, do[:h - 1]], axis=0)
         stack.append((do, S_l))
-        d = de - lvl.L @ do_prev - lvl.U @ do
-    x = (factors.root_inv @ d[0])[None]           # (1, m, k)
+        d = de - _mm(lvl.L, do_prev) - _mm(lvl.U, do)
+    x = _mm(factors.root_inv, d[0])[None]         # (1, m, k)
     for lvl, (do, S_l) in zip(reversed(factors.levels), reversed(stack)):
         h = do.shape[0]
         zero = jnp.zeros((1,) + x.shape[1:], x.dtype)
         xe_next = jnp.concatenate([x[1:], zero], axis=0)
-        xo = lvl.invBo @ (do - lvl.Ao @ x - lvl.Co @ xe_next)
+        xo = _mm(lvl.invBo, do - _mm(lvl.Ao, x) - _mm(lvl.Co, xe_next))
         x = jnp.stack([x, xo], axis=1).reshape(2 * h, *x.shape[1:])
         if S_l % 2 == 1:
             x = x[:S_l]
