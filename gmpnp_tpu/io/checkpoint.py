@@ -82,12 +82,22 @@ def run_transient_checkpointed(
     chunk: int = 100,
     update_carry: Optional[Callable] = None,
     theta_of_carry: Optional[Callable] = None,
+    step_state_init: Optional[Callable] = None,
 ):
     """Chunked resumable transient: scan ``chunk`` steps, checkpoint,
     repeat.  Returns (final_carry, ys) with ys concatenated over chunks
     (history of completed chunks before a resume is not re-materialized —
     consumers needing full history should re-run post hoc or keep chunk
-    outputs)."""
+    outputs).
+
+    ``step_state_init``: opts into the stateful step protocol of
+    ``timeloop.make_carried_step`` — called as
+    ``step_state_init(carry, start_index) -> state`` once before the
+    first chunk (after any checkpoint restore), and the state is threaded
+    across chunks in memory.  The state is DERIVED data (a factorization
+    of the current Jacobian) and is deliberately NOT persisted: a resume
+    rebuilds it, keeping checkpoints identical to the stateless layout.
+    """
     from gmpnp_tpu.solve.timeloop import run_transient
 
     def _tuplify(x):
@@ -104,6 +114,10 @@ def run_transient_checkpointed(
     if latest is not None:
         start, carry = latest
         carry = _tuplify(carry)
+
+    state = None
+    if step_state_init is not None and start < n_steps:
+        state = step_state_init(carry, start)
 
     ys_chunks = []
     i = start
@@ -124,7 +138,11 @@ def run_transient_checkpointed(
         carry, ys = run_transient(
             step, carry, k,
             update_carry=update_shifted,
-            theta_of_carry=theta_shifted)
+            theta_of_carry=theta_shifted,
+            step_state0=state)
+        if state is not None:
+            u_c, extra_c, state = carry
+            carry = (u_c, extra_c)
         ys_chunks.append(jax.tree.map(np.asarray, ys))
         i += k
         ckpt.save(i, carry)

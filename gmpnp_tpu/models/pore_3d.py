@@ -48,7 +48,9 @@ from gmpnp_tpu.models import base
 from gmpnp_tpu.solve.timeloop import (
     LinearConfig,
     NewtonConfig,
+    make_carried_step,
     make_implicit_step,
+    make_recovering_carried_step,
     make_recovering_step,
     run_transient,
 )
@@ -227,7 +229,23 @@ class Pore3DProgram:
         retries = cfg.dt_retries
         if retries is None:
             retries = 3 if n_steps is None else 0
-        if retries > 0:
+        carried = (cfg.linear.kind == "slab_direct"
+                   and cfg.linear.refresh == "carried")
+        prep_init = None
+        if carried:
+            # carried-factor chord Newton: the slab factorization rides
+            # the scan carry and refreshes lazily (timeloop.make_carried_
+            # step) — skips asm+equil+factor (~730 of ~800 ms/warm iter
+            # at N=3679, probes/probe_r3_v.py) on settled steps
+            if retries > 0:
+                step, prep_init = make_recovering_carried_step(
+                    self.space, self.form, cfg.newton, cfg.linear,
+                    bc_of_theta=self._bc_of_theta, max_retries=retries)
+            else:
+                step, prep_init = make_carried_step(
+                    self.space, self.form, cfg.newton, cfg.linear,
+                    bc_of_theta=self._bc_of_theta)
+        elif retries > 0:
             step = make_recovering_step(
                 self.space, self.form, cfg.newton, cfg.linear,
                 bc_of_theta=self._bc_of_theta, max_retries=retries)
@@ -245,11 +263,16 @@ class Pore3DProgram:
                 TransientCheckpointer,
                 run_transient_checkpointed,
             )
+            state_init = None
+            if carried:
+                state_init = lambda carry, i: jax.jit(prep_init)(
+                    carry[0], self._theta_of_carry(carry, jnp.asarray(i)))
             ckpt = TransientCheckpointer(checkpoint_dir, cfg=cfg)
             (u_final, _), ys = run_transient_checkpointed(
                 step, (u0, jnp.asarray(0.0)), n, ckpt,
                 chunk=checkpoint_every,
-                theta_of_carry=self._theta_of_carry)
+                theta_of_carry=self._theta_of_carry,
+                step_state_init=state_init)
             ckpt.close()
             if ys is None:
                 # resumed at the final step: no steps ran, so there are no
@@ -261,10 +284,20 @@ class Pore3DProgram:
         else:
             record = None if record_full else (
                 lambda u, stats: (u[self.s1_verts[:1]], stats))
-            (u_final, _), ys = run_transient(
-                step, (u0, jnp.asarray(0.0)), n,
-                theta_of_carry=self._theta_of_carry,
-                record=record, record_stride=record_stride)
+            carry0 = (u0, jnp.asarray(0.0))
+            if carried:
+                prep0 = jax.jit(prep_init)(
+                    u0, self._theta_of_carry(carry0, jnp.asarray(0)))
+                (u_final, _, _), ys = run_transient(
+                    step, carry0, n,
+                    theta_of_carry=self._theta_of_carry,
+                    record=record, record_stride=record_stride,
+                    step_state0=prep0)
+            else:
+                (u_final, _), ys = run_transient(
+                    step, carry0, n,
+                    theta_of_carry=self._theta_of_carry,
+                    record=record, record_stride=record_stride)
         u_hist, stats = ys
         return u0, u_hist, stats, u_final
 

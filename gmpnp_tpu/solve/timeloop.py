@@ -100,7 +100,20 @@ class LinearConfig:
     # (probe_r2_g); modified Newton trades a few extra cheap iterations
     # for skipping it.  Convergence is still certified on the true f64
     # residual, so both policies converge to the same solution.
+    # 'carried' extends 'step' ACROSS time steps: the factorization is
+    # carried in the transient scan state and only rebuilt when a step's
+    # Newton fails to converge with the stale factor, or converges but
+    # needs more than ``refresh_iters`` iterations (chord/modified-Newton
+    # with lazy refresh — the classical quasi-Newton transient recipe).
+    # On the warm phase of a settled transient this skips the entire
+    # assemble+equilibrate+relayout+factor pipeline (asm 450 + factor 217
+    # + equil 61 of a ~800 ms warm iteration at N=3679, probe_r3_v).
+    # Requires the stateful step built by ``make_carried_step``.
     refresh: str = "iter"
+    # 'carried' only: refresh the factorization for the next step when
+    # the current step converged but needed more than this many Newton
+    # iterations with the stale factor
+    refresh_iters: int = 8
     # Jacobian assembly precision: 'f32' evaluates element Jacobians in
     # float32 (inexact Newton; residuals and convergence checks stay f64).
     # A ~1e-7-relative Jacobian error is invisible at the reference's
@@ -145,9 +158,9 @@ def _validate_linear_config(cfg: LinearConfig) -> None:
     if cfg.kind not in _LINEAR_KINDS:
         raise ValueError(
             f"unknown linear solver kind {cfg.kind!r}; one of {_LINEAR_KINDS}")
-    if cfg.refresh not in ("iter", "step"):
-        raise ValueError(f"refresh must be 'iter' or 'step', got "
-                         f"{cfg.refresh!r}")
+    if cfg.refresh not in ("iter", "step", "carried"):
+        raise ValueError(f"refresh must be 'iter', 'step' or 'carried', "
+                         f"got {cfg.refresh!r}")
     if cfg.slab_mode not in ("thomas", "cr"):
         raise ValueError(f"slab_mode must be 'thomas' or 'cr', got "
                          f"{cfg.slab_mode!r}")
@@ -184,6 +197,11 @@ def _validate_linear_config(cfg: LinearConfig) -> None:
 def make_linear_solver(space: FemSpace, form: WeakForm, cfg: LinearConfig):
     """(bc, u_prev, theta) -> callable (u, r) -> (du, linear_iters)."""
     _validate_linear_config(cfg)
+    if cfg.refresh == "carried":
+        raise ValueError(
+            "refresh='carried' carries the factorization across time steps "
+            "and needs the stateful step protocol — build the step with "
+            "make_carried_step (models wire this automatically)")
     slab_plan = None
     if cfg.kind == "slab_direct":
         from gmpnp_tpu.solve.slab import SlabPlan
@@ -344,6 +362,132 @@ def make_implicit_step(
     return step
 
 
+def make_carried_step(
+    space: FemSpace,
+    form: WeakForm,
+    newton_cfg: NewtonConfig,
+    linear_cfg: LinearConfig,
+    bc_of_theta: Callable[[Any], DirichletBC],
+):
+    """Carried-factor transient step (``LinearConfig.refresh='carried'``).
+
+    Returns ``(step, prep_init)`` where
+
+        step: (u_prev, theta, prep) -> (u_new, StepStats, prep_new)
+        prep_init: (u0, theta) -> SlabPrepared
+
+    The slab factorization (``solve.slab.SlabPrepared``) rides the
+    transient scan carry instead of being rebuilt per Newton iterate
+    ('iter') or per step ('step').  Each step first runs Newton against
+    the carried (stale) factorization — a chord/modified-Newton iteration
+    whose convergence is still certified on the true f64 residual; the
+    factorization is rebuilt only when
+
+    - the stale attempt does NOT converge (the step is then re-solved
+      with a fresh factorization at the step's start iterate), or
+    - it converges but needs more than ``linear_cfg.refresh_iters``
+      iterations (the factor is refreshed at the accepted state for the
+      NEXT step, without re-solving).
+
+    On the warm phase of a settled transient (the reference's 3D pore
+    run settles after step 1, 3D/MPNP_CO2ER_pore.py:783-858) this skips
+    the whole assemble+equilibrate+relayout+factor pipeline — measured
+    asm 450 + factor 217 + equil 61 of a ~800 ms warm Newton iteration
+    at the shipped N=3,679 mesh (probes/probe_r3_v.py) — leaving only
+    residual evaluations and banded applies.
+
+    NOTE: under ``jax.vmap`` the two ``lax.cond`` branches both execute
+    for every lane (cond lowers to select), so vmapped sweeps would pay
+    the refresh on every step; use host-chunked lanes (parallel.sweep)
+    or refresh='iter' there.
+    """
+    _validate_linear_config(linear_cfg)
+    if linear_cfg.kind != "slab_direct":
+        raise ValueError(
+            "make_carried_step requires kind='slab_direct' (the carried "
+            f"state is the slab factorization), got {linear_cfg.kind!r}")
+    from gmpnp_tpu.solve.slab import SlabPlan, slab_apply, slab_prepare
+
+    plan = SlabPlan.build(
+        np.asarray(space.adj), np.asarray(space.points)[:, -1],
+        space.n_fields, np.asarray(space.diag_slot),
+        max_slabs=linear_cfg.max_slabs)
+
+    def assemble(u, u_prev, theta, bc):
+        aux = theta.get("_aux") if isinstance(theta, dict) else None
+        jdt = jnp.float32 if linear_cfg.jac_dtype == "f32" else None
+        ell_raw = space.jacobian(form, u, u_prev, theta, aux=aux, dtype=jdt)
+        if jdt is not None:
+            from gmpnp_tpu.fem.assembly import BlockELL
+            ell_raw = BlockELL(ell_raw.adj, ell_raw.flat.astype(u.dtype),
+                               ell_raw.diag_slot)
+        return bc.apply_to_jacobian(ell_raw)
+
+    def prep_of(u, u_prev, theta, bc):
+        return slab_prepare(assemble(u, u_prev, theta, bc), plan,
+                            mode=linear_cfg.slab_mode)
+
+    def prep_init(u0, theta):
+        bc = bc_of_theta(theta)
+        return prep_of(bc.project(u0), u0, theta, bc)
+
+    def step(u_prev, theta, prep):
+        bc = bc_of_theta(theta)
+        aux = theta.get("_aux") if isinstance(theta, dict) else None
+
+        def residual(u):
+            return bc.apply_to_residual(
+                space.residual(form, u, u_prev, theta, aux=aux), u)
+
+        def lin_of(p):
+            def lin(u, r):
+                res = slab_apply(p, r, plan, tol=linear_cfg.tol,
+                                 max_refine=linear_cfg.max_refine)
+                return res.x, res.iters
+            return lin
+
+        u0 = bc.project(u_prev)
+
+        def run_newton(p):
+            return newton_solve(
+                residual, lin_of(p), u0,
+                rtol=newton_cfg.rtol, atol=newton_cfg.atol,
+                max_iter=newton_cfg.max_iter,
+                relaxation=newton_cfg.relaxation,
+                loop=newton_cfg.loop,
+                backtracking=newton_cfg.backtracking,
+                bt_growth=newton_cfg.bt_growth,
+                carry_residual=newton_cfg.carry_residual)
+
+        res1 = run_newton(prep)
+
+        def fresh(_):
+            p2 = prep_of(u0, u_prev, theta, bc)
+            return run_newton(p2), p2
+
+        def keep(_):
+            return res1, prep
+
+        res, prep_used = jax.lax.cond(~res1.converged, fresh, keep, None)
+
+        # proactive refresh for the NEXT step when the stale factor made
+        # this (converged) step slow; the fresh branch above already
+        # produced a fresh factorization, so only the keep path refreshes
+        slow = res1.converged & (res1.iterations > linear_cfg.refresh_iters)
+        prep_new = jax.lax.cond(
+            slow, lambda _: prep_of(res.u, u_prev, theta, bc),
+            lambda _: prep_used, None)
+
+        stats = StepStats(
+            newton_iters=res.iterations,
+            converged=res.converged,
+            residual_norm=res.residual_norm,
+            linear_iters=res.linear_iters)
+        return res.u, stats, prep_new
+
+    return step, prep_init
+
+
 def make_retrying_step(
     step: Callable,
     max_retries: int = 3,
@@ -420,6 +564,55 @@ def make_recovering_step(
     return step
 
 
+def make_recovering_carried_step(
+    space: FemSpace,
+    form: WeakForm,
+    newton_cfg: NewtonConfig,
+    linear_cfg: LinearConfig,
+    bc_of_theta: Callable[[Any], DirichletBC],
+    max_retries: int = 3,
+    dt_key: str = "dt",
+):
+    """Carried-factor step with divergence-triggered dt halving — the
+    stateful analogue of ``make_recovering_step`` for
+    ``LinearConfig.refresh='carried'``.
+
+    Step signature: ``(u_prev, theta, prep) -> (u_new, stats, prep_new)``
+    with ``stats.dt_scale`` recording the accepted halving factor.  Note
+    the carried step already retries a non-converged attempt once with a
+    fresh factorization at the SAME dt (make_carried_step); the dt
+    halvings here engage only when even the fresh factor cannot converge
+    the step.
+    """
+    base, prep_init = make_carried_step(space, form, newton_cfg,
+                                        linear_cfg, bc_of_theta)
+
+    def step(u_prev, theta, prep):
+        dt0 = jnp.asarray(theta[dt_key])
+
+        def attempt(k, p):
+            th = dict(theta)
+            th[dt_key] = dt0 * (0.5 ** k.astype(dt0.dtype))
+            return base(u_prev, th, p)
+
+        u1, st1, p1 = attempt(jnp.asarray(0), prep)
+
+        def cond(state):
+            k, u, st, p = state
+            return (~st.converged) & (k < max_retries)
+
+        def body(state):
+            k, u, st, p = state
+            u2, st2, p2 = attempt(k + 1, p)
+            return (k + 1, u2, st2, p2)
+
+        k, u, st, p = jax.lax.while_loop(
+            cond, body, (jnp.asarray(0), u1, st1, p1))
+        return u, st._replace(dt_scale=0.5 ** k.astype(dt0.dtype)), p
+
+    return step, prep_init
+
+
 def run_transient(
     step: Callable,
     carry0,
@@ -429,6 +622,7 @@ def run_transient(
     record: Optional[Callable] = None,
     jit: bool = True,
     record_stride: int = 1,
+    step_state0=None,
 ):
     """Generic transient driver.
 
@@ -446,6 +640,13 @@ def run_transient(
     history).  Implemented as a nested scan — the inner scan advances k
     steps, the outer scan emits one record per k — so the history buffer
     on device is n_steps/k, not n_steps.  Requires k | n_steps.
+
+    ``step_state0`` opts into the STATEFUL step protocol (the carried
+    slab factorization of ``make_carried_step``): the step is called as
+    ``step(u, theta, state) -> (u_new, stats, state_new)`` and the state
+    rides the scan carry.  The return becomes
+    ``((u_final, extra_final, state_final), stacked_ys)`` — one extra
+    carry element, so stateful callers unpack three.
     """
     if update_carry is None:
         update_carry = lambda extra, u, i: extra
@@ -454,12 +655,25 @@ def run_transient(
     if record is None:
         record = lambda u, stats: (u, stats)
 
+    stateful = step_state0 is not None
+
     def body(carry, i):
-        u, extra = carry
+        if stateful:
+            u, extra, st = carry
+        else:
+            u, extra = carry
         theta = theta_of_carry((u, extra), i)
-        u_new, stats = step(u, theta)
+        if stateful:
+            u_new, stats, st_new = step(u, theta, st)
+        else:
+            u_new, stats = step(u, theta)
         extra_new = update_carry(extra, u_new, i)
-        return (u_new, extra_new), record(u_new, stats)
+        new_carry = ((u_new, extra_new, st_new) if stateful
+                     else (u_new, extra_new))
+        return new_carry, record(u_new, stats)
+
+    if stateful:
+        carry0 = (*carry0, step_state0)
 
     if record_stride <= 1:
         def run(carry0):

@@ -189,3 +189,71 @@ def test_run_outputs_contract(tmp_path, physics):
     if physics == "GMPNP":
         assert "solution_p.vtu" in vtu
         assert "solution_K.vtu" in vtu
+
+
+def test_carried_factor_matches_exact_newton():
+    """refresh='carried' (chord Newton with a lazily-refreshed slab
+    factorization riding the scan carry) converges to the same per-step
+    solutions as exact Newton (refresh='iter'): both certify on the true
+    f64 residual, so at tight Newton tolerances the final states agree
+    far below the tolerance."""
+    import dataclasses as dc
+
+    newton = NewtonConfig(max_iter=50, rtol=1e-11, atol=1e-11,
+                          relaxation=0.9)
+    base_lin = LinearConfig(kind="slab_direct", tol=1e-12)
+    u_by_mode = {}
+    stats_by_mode = {}
+    for refresh in ("iter", "carried"):
+        cfg = small_cfg(physics="GMPNP", newton=newton,
+                        linear=dc.replace(base_lin, refresh=refresh,
+                                          refresh_iters=8))
+        prog = pore_3d.build(cfg)
+        _, hist, stats, u_final = prog.run(n_steps=4)
+        assert bool(np.asarray(stats.converged).all()), refresh
+        u_by_mode[refresh] = np.asarray(u_final)
+        stats_by_mode[refresh] = stats
+    a, b = u_by_mode["iter"], u_by_mode["carried"]
+    rel = np.linalg.norm(a - b) / np.linalg.norm(a)
+    assert rel < 1e-8, rel
+
+
+def test_carried_factor_checkpoint_resume(tmp_path):
+    """The carried factorization is derived data: a checkpointed carried
+    run resumes from the orbax state (rebuilding the factor) and matches
+    an uninterrupted carried run."""
+    import dataclasses as dc
+
+    newton = NewtonConfig(max_iter=50, rtol=1e-10, atol=1e-10,
+                          relaxation=0.9)
+    lin = LinearConfig(kind="slab_direct", tol=1e-12, refresh="carried")
+    cfg = small_cfg(physics="GMPNP", newton=newton, linear=lin)
+
+    prog = pore_3d.build(cfg)
+    _, _, stats_a, u_a = prog.run(n_steps=4)
+
+    ck = str(tmp_path / "ck")
+    prog2 = pore_3d.build(cfg)
+    _, _, _, _ = prog2.run(n_steps=2, checkpoint_dir=ck, checkpoint_every=2)
+    # resume: same dir, extend to 4 steps (chunks of 2)
+    prog3 = pore_3d.build(cfg)
+    _, _, stats_b, u_b = prog3.run(n_steps=4, checkpoint_dir=ck,
+                                   checkpoint_every=2)
+    rel = (np.linalg.norm(np.asarray(u_a) - np.asarray(u_b))
+           / np.linalg.norm(np.asarray(u_a)))
+    assert rel < 1e-8, rel
+
+
+def test_carried_factor_with_recovery_converges():
+    """make_recovering_carried_step: carried mode composes with dt-halving
+    recovery; a plain run with retries enabled completes with dt_scale
+    recorded (1.0 when no retry was needed)."""
+    import dataclasses as dc
+
+    lin = LinearConfig(kind="slab_direct", tol=1e-12, refresh="carried")
+    cfg = small_cfg(physics="GMPNP", linear=lin, dt_retries=2)
+    prog = pore_3d.build(cfg)
+    _, _, stats, _ = prog.run(n_steps=3)
+    assert bool(np.asarray(stats.converged).all())
+    assert np.asarray(stats.dt_scale).shape == (3,)
+    np.testing.assert_allclose(np.asarray(stats.dt_scale), 1.0)
