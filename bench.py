@@ -63,25 +63,73 @@ def _scan_transient(prog, step, n_steps, carry_extra, update_carry=None):
     return run
 
 
-def _build_pore():
+def _scan_transient_carried(prog, step, prep_init, n_steps, carry_extra):
+    """Stateful-step variant: the slab factorization rides the scan carry
+    (timeloop.make_carried_step — the fast 3D production mode)."""
+    import jax
+    import jax.numpy as jnp
+
+    def run(u0):
+        th0 = prog._theta_of_carry((u0, carry_extra), jnp.asarray(0))
+        prep0 = prep_init(u0, th0)
+
+        def body(carry, i):
+            u, extra, prep = carry
+            th = prog._theta_of_carry((u, extra), i)
+            u_new, st, prep = step(u, th, prep)
+            return (u_new, extra, prep), st.newton_iters
+
+        (u, _, _), iters = jax.lax.scan(
+            body, (u0, carry_extra, prep0), jnp.arange(n_steps))
+        return u, iters
+
+    return run
+
+
+def _pore_run(prog, cfg, refresh):
+    """Build the timed N_STEPS transient for a pore program: exact Newton
+    (refresh='iter' — the reference MUMPS-semantics program, used as the
+    single-CPU-core baseline) or the carried-factor production mode
+    (refresh='carried': 745.8 -> 534.0 ms/step GMPNP, 2228 -> 1422 rxn_diff
+    on TPU at the shipped mesh; states match exact Newton to <1e-6 rel-L2,
+    probes/probe_r3_ad.py)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    if refresh == "carried":
+        from gmpnp_tpu.solve.timeloop import make_carried_step
+
+        lin = dataclasses.replace(cfg.linear, refresh="carried")
+        step, prep_init = make_carried_step(
+            prog.space, prog.form, cfg.newton, lin,
+            bc_of_theta=prog._bc_of_theta)
+        return _scan_transient_carried(prog, step, prep_init, N_STEPS,
+                                       jnp.asarray(0.0))
+    from gmpnp_tpu.solve.timeloop import make_implicit_step
+
+    step = make_implicit_step(prog.space, prog.form, cfg.newton, cfg.linear,
+                              bc_of_theta=prog._bc_of_theta)
+    return _scan_transient(prog, step, N_STEPS, jnp.asarray(0.0))
+
+
+def _build_pore(refresh="carried"):
     import jax.numpy as jnp
 
     from gmpnp_tpu.models import pore_3d
-    from gmpnp_tpu.solve.timeloop import make_implicit_step
 
     cfg = pore_3d.Pore3DConfig(physics="GMPNP", L=50e-9, R=5e-9)
     prog = pore_3d.build(cfg)
     nf, ns = cfg.n_fields, len(cfg.species)
-    step = make_implicit_step(prog.space, prog.form, cfg.newton, cfg.linear,
-                              bc_of_theta=prog._bc_of_theta)
-    run = _scan_transient(prog, step, N_STEPS, jnp.asarray(0.0))
+    run = _pore_run(prog, cfg, refresh)
     u0 = jnp.ones((prog.space.num_vertices, nf)).at[:, ns].set(0.0)
+    mode = "slab-carried" if refresh == "carried" else "slab"
     key = (f"pore3d_gmpnp/L50R5/N{prog.space.num_vertices}"
-           f"/steps{N_STEPS}/slab/{VER}")
+           f"/steps{N_STEPS}/{mode}/{VER}")
     return run, u0, key, N_STEPS
 
 
-def _build_pore_xl():
+def _build_pore_xl(refresh="carried"):
     """Beyond-reference scale: 3D GMPNP at a generated 12,319-vertex
     cylinder mesh — 3.3x the shipped reference mesh's DoFs (the largest
     point of the round-3 scaling envelope, runs/study_r3_scaling.json;
@@ -89,37 +137,33 @@ def _build_pore_xl():
     import jax.numpy as jnp
 
     from gmpnp_tpu.models import pore_3d
-    from gmpnp_tpu.solve.timeloop import make_implicit_step
 
     os.environ.pop("GMPNP_UTILITIES", None)   # force the generator
     cfg = pore_3d.Pore3DConfig(physics="GMPNP", L=50e-9, R=5e-9,
                                mesh_resolution=(6, 96))
     prog = pore_3d.build(cfg)
     nf, ns = cfg.n_fields, len(cfg.species)
-    step = make_implicit_step(prog.space, prog.form, cfg.newton, cfg.linear,
-                              bc_of_theta=prog._bc_of_theta)
-    run = _scan_transient(prog, step, N_STEPS, jnp.asarray(0.0))
+    run = _pore_run(prog, cfg, refresh)
     u0 = jnp.ones((prog.space.num_vertices, nf)).at[:, ns].set(0.0)
+    mode = "slab-carried" if refresh == "carried" else "slab"
     key = (f"pore3d_gmpnp_xl/gen6x96/N{prog.space.num_vertices}"
-           f"/steps{N_STEPS}/slab/{VER}")
+           f"/steps{N_STEPS}/{mode}/{VER}")
     return run, u0, key, N_STEPS
 
 
-def _build_rxn3d():
+def _build_rxn3d(refresh="carried"):
     """BASELINE config 4: 3D rxn-diff pore at the shipped L_50_R_5."""
     import jax.numpy as jnp
 
     from gmpnp_tpu.models import pore_3d
-    from gmpnp_tpu.solve.timeloop import make_implicit_step
 
     cfg = pore_3d.Pore3DConfig(physics="rxn_diff", L=50e-9, R=5e-9)
     prog = pore_3d.build(cfg)
-    step = make_implicit_step(prog.space, prog.form, cfg.newton, cfg.linear,
-                              bc_of_theta=prog._bc_of_theta)
-    run = _scan_transient(prog, step, N_STEPS, jnp.asarray(0.0))
+    run = _pore_run(prog, cfg, refresh)
     u0 = jnp.ones((prog.space.num_vertices, cfg.n_fields))
+    mode = "slab-carried" if refresh == "carried" else "slab"
     key = (f"pore3d_rxndiff/L50R5/N{prog.space.num_vertices}"
-           f"/steps{N_STEPS}/slab/{VER}")
+           f"/steps{N_STEPS}/{mode}/{VER}")
     return run, u0, key, N_STEPS
 
 
@@ -230,7 +274,7 @@ def _build_edl_sweep(lanes=8):
     return run, (u0v, volts), key, n * lanes
 
 
-def _build_pore_sweep(lanes=4):
+def _build_pore_sweep(lanes=4, refresh="carried"):
     """BASELINE config 5 as written: the 3D GMPNP voltage sweep AT THE
     REFERENCE MESH (shipped L_50_R_5, N=3679), HOST-chunked (the
     production large-mesh mode, parallel.sweep._auto_chunk): ONE compiled
@@ -261,7 +305,6 @@ def _build_pore_sweep(lanes=4):
     import jax.numpy as jnp
 
     from gmpnp_tpu.models import pore_3d
-    from gmpnp_tpu.solve.timeloop import make_implicit_step
 
     cfg = pore_3d.Pore3DConfig(physics="GMPNP", L=50e-9, R=5e-9)
     prog = pore_3d.build(cfg)
@@ -275,27 +318,57 @@ def _build_pore_sweep(lanes=4):
                                 theta["co2_s1"])
         return bc.set_value_arith(s2, ns, theta["voltage"])
 
+    import dataclasses
+
     from gmpnp_tpu.parallel.sweep import _sweep_newton
+
     newton = _sweep_newton(cfg.newton)
-    step = make_implicit_step(prog.space, prog.form, newton, cfg.linear,
-                              bc_of_theta=bc_of_theta)
+    if refresh == "carried":
+        from gmpnp_tpu.solve.timeloop import make_carried_step
 
-    def single(u0_l, voltage):
-        def body(carry, i):
-            u, extra = carry
-            th = prog._theta_of_carry((u, extra), i)
-            th["voltage"] = voltage
-            u_new, st = step(u, th)
-            return (u_new, extra), st.newton_iters
+        lin = dataclasses.replace(cfg.linear, refresh="carried")
+        step_c, prep_init = make_carried_step(
+            prog.space, prog.form, newton, lin, bc_of_theta=bc_of_theta)
 
-        (u, _), iters = jax.lax.scan(
-            body, (u0_l, jnp.asarray(0.0)), jnp.arange(N_STEPS))
-        return u, iters
+        def single(u0_l, voltage):
+            th0 = prog._theta_of_carry((u0_l, jnp.asarray(0.0)),
+                                       jnp.asarray(0))
+            th0["voltage"] = voltage
+            prep0 = prep_init(u0_l, th0)
+
+            def body(carry, i):
+                u, extra, prep = carry
+                th = prog._theta_of_carry((u, extra), i)
+                th["voltage"] = voltage
+                u_new, st, prep = step_c(u, th, prep)
+                return (u_new, extra, prep), st.newton_iters
+
+            (u, _, _), iters = jax.lax.scan(
+                body, (u0_l, jnp.asarray(0.0), prep0), jnp.arange(N_STEPS))
+            return u, iters
+    else:
+        from gmpnp_tpu.solve.timeloop import make_implicit_step
+
+        step = make_implicit_step(prog.space, prog.form, newton, cfg.linear,
+                                  bc_of_theta=bc_of_theta)
+
+        def single(u0_l, voltage):
+            def body(carry, i):
+                u, extra = carry
+                th = prog._theta_of_carry((u, extra), i)
+                th["voltage"] = voltage
+                u_new, st = step(u, th)
+                return (u_new, extra), st.newton_iters
+
+            (u, _), iters = jax.lax.scan(
+                body, (u0_l, jnp.asarray(0.0)), jnp.arange(N_STEPS))
+            return u, iters
 
     u0 = jnp.ones((prog.space.num_vertices, nf)).at[:, ns].set(0.0)
     volts = jnp.asarray(np.linspace(-0.25, -1.0, lanes))
+    mode = "btg4-carried" if refresh == "carried" else "btg4"
     key = (f"pore3d_sweep/L50R5/N{prog.space.num_vertices}"
-           f"/steps{N_STEPS}x{lanes}/v0.25-1.0-btg4/{VER}")
+           f"/steps{N_STEPS}x{lanes}/v0.25-1.0-{mode}/{VER}")
     return single, (u0, volts), key, prog.space.num_vertices
 
 
@@ -366,7 +439,15 @@ def _cpu_seconds(run, args, key):
     return t
 
 
-def _transient_record(build, per_key, accel):
+def _transient_record(build, per_key, accel, cpu_build=None):
+    """Time ``build()``'s program on the accelerator; baseline against
+    ``cpu_build()``'s program on one CPU core (default: the same program).
+
+    A distinct cpu_build keeps the baseline on the reference-semantics
+    program (exact Newton — the MUMPS-per-iterate proxy for what FEniCS
+    actually executes) while the accelerator runs the framework's fast
+    production mode (carried-factor chord Newton); the record names both
+    keys so the comparison is explicit."""
     run, args, key, denom = build()
     t, t_std, n_newton = _timed_run(run, args, accel)
     rec = {
@@ -378,7 +459,14 @@ def _transient_record(build, per_key, accel):
         "key": key,
     }
     try:
-        t_cpu = _cpu_seconds(run, args, key)
+        if cpu_build is not None:
+            run_c, args_c, key_c, _ = cpu_build()
+            t_cpu = _cpu_seconds(run_c, args_c, key_c)
+            rec["cpu_key"] = key_c
+            rec["cpu_protocol"] = ("exact-Newton program (reference "
+                                   "MUMPS-semantics proxy) on one core")
+        else:
+            t_cpu = _cpu_seconds(run, args, key)
         rec["vs_baseline"] = round(t_cpu / t, 3)
         rec[f"cpu_{per_key}"] = round(t_cpu / denom * 1e3, 3)
     except Exception as e:
@@ -399,12 +487,16 @@ def _child(config: str) -> dict:
     accel = jax.devices()[0]
 
     if config == "pore":
-        rec = _transient_record(_build_pore, "ms_per_step", accel)
+        rec = _transient_record(
+            lambda: _build_pore("carried"), "ms_per_step", accel,
+            cpu_build=lambda: _build_pore("iter"))
         rec["mesh_nodes"] = 3679
         return rec
 
     if config == "xl":
-        rec = _transient_record(_build_pore_xl, "ms_per_step", accel)
+        rec = _transient_record(
+            lambda: _build_pore_xl("carried"), "ms_per_step", accel,
+            cpu_build=lambda: _build_pore_xl("iter"))
         rec["mesh_nodes"] = 12319
         rec["note"] = ("beyond-reference scale: 3.3x the shipped mesh's "
                        "DoFs; lanes 1-8 flat at the shipped mesh, see "
@@ -412,7 +504,9 @@ def _child(config: str) -> dict:
         return rec
 
     if config == "rxn3d":
-        rec = _transient_record(_build_rxn3d, "ms_per_step", accel)
+        rec = _transient_record(
+            lambda: _build_rxn3d("carried"), "ms_per_step", accel,
+            cpu_build=lambda: _build_rxn3d("iter"))
         rec["mesh_nodes"] = 3679
         return rec
 
@@ -433,7 +527,7 @@ def _child(config: str) -> dict:
 
     if config == "sweep":
         lanes = 4
-        single, (u0, volts), key, N = _build_pore_sweep(lanes)
+        single, (u0, volts), key, N = _build_pore_sweep(lanes, "carried")
         lane_steps = lanes * N_STEPS
         t, t_std, n_newton = _timed_sweep_host(single, u0, volts, accel)
         rec = {
@@ -449,20 +543,27 @@ def _child(config: str) -> dict:
                     "lane; see _build_pore_sweep docstring)",
         }
         try:
+            # CPU baseline: the exact-Newton program (reference
+            # MUMPS-semantics proxy; see _transient_record docstring)
+            single_b, (u0_b, volts_b), key_b, _ = _build_pore_sweep(
+                lanes, "iter")
             cache = {}
             if os.path.exists(_CPU_CACHE):
                 try:
                     cache = json.load(open(_CPU_CACHE))
                 except Exception:
                     cache = {}
-            if cache.get(key) is not None:
-                t_cpu = float(cache[key])
+            if cache.get(key_b) is not None:
+                t_cpu = float(cache[key_b])
             else:
                 cpu = jax.devices("cpu")[0]
-                t_cpu, _, _ = _timed_sweep_host(single, u0, volts, cpu)
-                cache[key] = t_cpu
+                t_cpu, _, _ = _timed_sweep_host(single_b, u0_b, volts_b, cpu)
+                cache[key_b] = t_cpu
                 with open(_CPU_CACHE, "w") as f:
                     json.dump(cache, f, indent=1)
+            rec["cpu_key"] = key_b
+            rec["cpu_protocol"] = ("exact-Newton program (reference "
+                                   "MUMPS-semantics proxy) on one core")
             rec["vs_baseline"] = round(t_cpu / t, 3)
             rec["cpu_ms_per_lane_step"] = round(t_cpu / lane_steps * 1e3, 3)
         except Exception as e:

@@ -52,6 +52,14 @@ def add_common_pore_args(p):
                         "(default), g > 0 = accept while the residual grows "
                         "by < g (non-monotone; the production sweep rule, "
                         "solve.newton.newton_solve)")
+    p.add_argument("--linear_refresh", type=str, default=None,
+                   choices=("iter", "step", "carried"),
+                   help="slab-factorization refresh policy: 'iter' = exact "
+                        "Newton, re-factor every iterate (reference-parity "
+                        "default); 'step' = once per time step; 'carried' = "
+                        "carry across steps with lazy refresh (chord Newton "
+                        "— the fast production mode, ~1.4x on TPU at the "
+                        "shipped mesh; solve.timeloop.make_carried_step)")
 
 
 def build_parser():
@@ -101,6 +109,10 @@ def config_from_args(args, physics):
         import dataclasses
         cfg = dataclasses.replace(cfg, newton=dataclasses.replace(
             cfg.newton, **newton_kw))
+    if getattr(args, "linear_refresh", None):
+        import dataclasses
+        cfg = dataclasses.replace(cfg, linear=dataclasses.replace(
+            cfg.linear, refresh=args.linear_refresh))
     return cfg
 
 

@@ -199,26 +199,63 @@ def run_pore_voltage_sweep(
                                 theta["co2_s1"])
         return bc.set_value_arith(s2, ns, theta["voltage"])
 
-    step = make_implicit_step(
-        prog.space, prog.form, _sweep_newton(cfg.newton), cfg.linear,
-        bc_of_theta=bc_of_theta)
-
-    def single(voltage):
-        u0 = jnp.ones((prog.space.num_vertices, nf)).at[:, ns].set(0.0)
-
-        def body(carry, i):
-            u, extra = carry
-            theta = prog._theta_of_carry((u, extra), i)
-            theta["voltage"] = voltage
-            u_new, stats = step(u, theta)
-            return (u_new, extra), (u_new, stats)
-
-        _, ys = jax.lax.scan(body, (u0, jnp.asarray(0.0)), jnp.arange(n))
-        return ys
-
-    volts = jnp.asarray(voltages, jnp.float64)
     if chunk is None:
         chunk = _auto_chunk(len(voltages), prog.space.num_vertices)
+
+    lin = cfg.linear
+    carried = lin.kind == "slab_direct" and lin.refresh == "carried"
+    if carried and chunk != 0:
+        # vmapped lanes execute BOTH branches of the carried mode's
+        # lax.cond refreshes every step (cond lowers to select under
+        # vmap) — downgrade to the stateless once-per-step policy, which
+        # keeps most of the win and stays vmap-benign
+        lin = dataclasses.replace(lin, refresh="step")
+        carried = False
+
+    if carried:
+        from gmpnp_tpu.solve.timeloop import make_carried_step
+
+        step_c, prep_init = make_carried_step(
+            prog.space, prog.form, _sweep_newton(cfg.newton), lin,
+            bc_of_theta=bc_of_theta)
+
+        def single(voltage):
+            u0 = jnp.ones((prog.space.num_vertices, nf)).at[:, ns].set(0.0)
+            th0 = prog._theta_of_carry((u0, jnp.asarray(0.0)),
+                                       jnp.asarray(0))
+            th0["voltage"] = voltage
+            prep0 = prep_init(u0, th0)
+
+            def body(carry, i):
+                u, extra, prep = carry
+                theta = prog._theta_of_carry((u, extra), i)
+                theta["voltage"] = voltage
+                u_new, stats, prep = step_c(u, theta, prep)
+                return (u_new, extra, prep), (u_new, stats)
+
+            _, ys = jax.lax.scan(body, (u0, jnp.asarray(0.0), prep0),
+                                 jnp.arange(n))
+            return ys
+    else:
+        step = make_implicit_step(
+            prog.space, prog.form, _sweep_newton(cfg.newton), lin,
+            bc_of_theta=bc_of_theta)
+
+        def single(voltage):
+            u0 = jnp.ones((prog.space.num_vertices, nf)).at[:, ns].set(0.0)
+
+            def body(carry, i):
+                u, extra = carry
+                theta = prog._theta_of_carry((u, extra), i)
+                theta["voltage"] = voltage
+                u_new, stats = step(u, theta)
+                return (u_new, extra), (u_new, stats)
+
+            _, ys = jax.lax.scan(body, (u0, jnp.asarray(0.0)),
+                                 jnp.arange(n))
+            return ys
+
+    volts = jnp.asarray(voltages, jnp.float64)
     return _run_lanes(single, volts, chunk)
 
 

@@ -15,6 +15,7 @@ carry update, so none of it triggers recompilation.
 from __future__ import annotations
 
 import os
+import dataclasses
 from dataclasses import dataclass, field
 from typing import Any, Callable, NamedTuple, Optional, Tuple
 
@@ -114,6 +115,13 @@ class LinearConfig:
     # the current step converged but needed more than this many Newton
     # iterations with the stale factor
     refresh_iters: int = 8
+    # 'carried' only: iteration budget of the stale (chord) attempt before
+    # falling back to exact Newton.  A frozen-Jacobian iteration is only
+    # locally convergent — on strongly state-dependent systems (measured:
+    # the 3D rxn-diff pore on small meshes) it can diverge outright, so
+    # the chord attempt gets a short leash and the fallback re-solves the
+    # step with per-iterate re-factorization (identical to refresh='iter')
+    chord_max_iter: int = 16
     # Jacobian assembly precision: 'f32' evaluates element Jacobians in
     # float32 (inexact Newton; residuals and convergence checks stay f64).
     # A ~1e-7-relative Jacobian error is invisible at the reference's
@@ -380,11 +388,17 @@ def make_carried_step(
     transient scan carry instead of being rebuilt per Newton iterate
     ('iter') or per step ('step').  Each step first runs Newton against
     the carried (stale) factorization — a chord/modified-Newton iteration
-    whose convergence is still certified on the true f64 residual; the
-    factorization is rebuilt only when
+    whose convergence is still certified on the true f64 residual, with
+    an iteration budget of ``linear_cfg.chord_max_iter`` (a chord
+    iteration is only locally convergent; the short leash bounds the
+    wasted work when it stalls or diverges).  The factorization is
+    rebuilt only when
 
-    - the stale attempt does NOT converge (the step is then re-solved
-      with a fresh factorization at the step's start iterate), or
+    - the chord attempt does NOT converge within its budget: the step is
+      then re-solved with EXACT Newton (per-iterate re-assembly and
+      re-factorization, identical to refresh='iter' — so a carried
+      transient converges whenever an exact-Newton transient does), and
+      the factor is refreshed at the accepted state for the next step; or
     - it converges but needs more than ``linear_cfg.refresh_iters``
       iterations (the factor is refreshed at the accepted state for the
       NEXT step, without re-solving).
@@ -431,6 +445,10 @@ def make_carried_step(
         bc = bc_of_theta(theta)
         return prep_of(bc.project(u0), u0, theta, bc)
 
+    # exact-Newton fallback: per-iterate assemble+factor, as refresh='iter'
+    exact_lin_builder = make_linear_solver(
+        space, form, dataclasses.replace(linear_cfg, refresh="iter"))
+
     def step(u_prev, theta, prep):
         bc = bc_of_theta(theta)
         aux = theta.get("_aux") if isinstance(theta, dict) else None
@@ -448,22 +466,25 @@ def make_carried_step(
 
         u0 = bc.project(u_prev)
 
-        def run_newton(p):
+        def run_newton(lin, max_iter):
             return newton_solve(
-                residual, lin_of(p), u0,
+                residual, lin, u0,
                 rtol=newton_cfg.rtol, atol=newton_cfg.atol,
-                max_iter=newton_cfg.max_iter,
+                max_iter=max_iter,
                 relaxation=newton_cfg.relaxation,
                 loop=newton_cfg.loop,
                 backtracking=newton_cfg.backtracking,
                 bt_growth=newton_cfg.bt_growth,
                 carry_residual=newton_cfg.carry_residual)
 
-        res1 = run_newton(prep)
+        res1 = run_newton(
+            lin_of(prep),
+            min(linear_cfg.chord_max_iter, newton_cfg.max_iter))
 
         def fresh(_):
-            p2 = prep_of(u0, u_prev, theta, bc)
-            return run_newton(p2), p2
+            res2 = run_newton(exact_lin_builder(bc, u_prev, theta),
+                              newton_cfg.max_iter)
+            return res2, prep_of(res2.u, u_prev, theta, bc)
 
         def keep(_):
             return res1, prep

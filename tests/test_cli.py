@@ -227,3 +227,15 @@ def test_newton_recovery_flags_thread_into_config():
     cfg = config_from_args(args, "GMPNP")
     assert cfg.newton.backtracking == 4
     assert cfg.newton.bt_growth == 10.0
+
+
+def test_linear_refresh_flag_threads_into_config():
+    """--linear_refresh reaches LinearConfig (carried production mode)."""
+    from gmpnp_tpu.cli.pore_3d import build_parser, config_from_args
+
+    args = build_parser().parse_args(["--linear_refresh", "carried"])
+    cfg = config_from_args(args, "GMPNP")
+    assert cfg.linear.refresh == "carried"
+    # default stays reference-parity exact Newton
+    cfg0 = config_from_args(build_parser().parse_args([]), "GMPNP")
+    assert cfg0.linear.refresh == "iter"

@@ -262,3 +262,40 @@ def test_edl_sweep_chunked_matches_vmap(chunk):
                                rtol=1e-7, atol=1e-7)
     assert (np.abs(np.asarray(stats_c.newton_iters)
                    - np.asarray(stats_v.newton_iters)) <= 1).all()
+
+
+def test_pore_sweep_carried_matches_iter():
+    """refresh='carried' in the host-chunked production sweep (chunk=0)
+    matches the exact-Newton sweep lane for lane; a chunked (vmapped)
+    request downgrades to the stateless 'step' policy instead of
+    erroring."""
+    import dataclasses
+
+    from gmpnp_tpu.parallel.sweep import run_pore_voltage_sweep
+
+    # tight Newton tolerances: chord and exact Newton then converge to
+    # the same per-step solutions (both certify on the true residual; at
+    # the production 1e-4 tolerance they stop at different points INSIDE
+    # the tolerance band, which is expected and not an error)
+    cfg = pore_3d.Pore3DConfig(
+        physics="GMPNP", mesh_resolution=(2, 8),
+        newton=dataclasses.replace(
+            pore_3d.Pore3DConfig(mesh_resolution=(2, 8)).newton,
+            rtol=1e-11, atol=1e-11))
+    cfg_c = dataclasses.replace(
+        cfg, linear=dataclasses.replace(cfg.linear, refresh="carried"))
+    voltages = [-0.5, -1.0]
+
+    hist_i, stats_i = run_pore_voltage_sweep(cfg, voltages, n_steps=3,
+                                             chunk=0)
+    hist_c, stats_c = run_pore_voltage_sweep(cfg_c, voltages, n_steps=3,
+                                             chunk=0)
+    assert bool(np.asarray(stats_c.converged).all())
+    np.testing.assert_allclose(np.asarray(hist_c[:, -1]),
+                               np.asarray(hist_i[:, -1]),
+                               rtol=5e-4, atol=1e-6)
+
+    # vmapped chunk: downgrades to refresh='step', still converges
+    hist_s, stats_s = run_pore_voltage_sweep(cfg_c, voltages, n_steps=2,
+                                             chunk=2)
+    assert bool(np.asarray(stats_s.converged).all())
