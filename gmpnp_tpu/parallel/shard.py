@@ -378,6 +378,7 @@ def make_sharded_step(
     krylov_restart: int = 30,
     axis_name: str = "z",
     linear: str = "slab_direct",
+    refresh: str = "iter",
     bc_lifts: Optional[Sequence[Tuple[np.ndarray, str]]] = None,
     jit: bool = True,
 ):
@@ -396,6 +397,14 @@ def make_sharded_step(
     device-count-independent O(10) inner iterations; 'bicgstab_jacobi'
     keeps the round-1 block-Jacobi BiCGStab.
 
+    refresh: 'iter' (default) re-assembles the Jacobian and re-factors
+    at every Newton iterate (exact Newton); 'step' assembles + factors
+    ONCE at the step's start iterate and reuses both for the whole step
+    (modified/chord Newton, certified on the true residual) — the
+    distributed analogue of LinearConfig.refresh='step', skipping the
+    dominant assembly+factorization work on every iteration after the
+    first (tests/test_parallel.py::test_sharded_step_refresh_matches_iter).
+
     bc_lifts: optional static (N_pad, f) one-hot masks paired with theta
     keys; per step the Dirichlet VALUES become
     ``vals*(1-onehot) + theta[key]*onehot`` (pure arithmetic — the
@@ -407,6 +416,15 @@ def make_sharded_step(
     if linear not in ("slab_direct", "bicgstab_jacobi"):
         raise ValueError(f"unknown sharded linear solver {linear!r}; "
                          f"'slab_direct' or 'bicgstab_jacobi'")
+    if refresh not in ("iter", "step"):
+        # 'step' freezes the Jacobian + SPIKE factorization at the step's
+        # start iterate (modified/chord Newton) — one assembly and one
+        # distributed factorization per time step instead of per Newton
+        # iteration.  The carried (cross-step) policy of the single-chip
+        # path is not offered here: its lazy-refresh lax.cond would nest
+        # a second factorization branch inside the SPMD while_loop.
+        raise ValueError(f"refresh must be 'iter' or 'step', got "
+                         f"{refresh!r}")
     n_dev, N_p, H, nf = plan.n_dev, plan.N_p, plan.H, plan.n_fields
     if linear == "slab_direct":
         active_markers = sorted(
@@ -898,8 +916,9 @@ def make_sharded_step(
             u, r, rn, it, lin = st
             return (~converged(rn)) & (it < newton_max_iter)
 
-        def body(st):
-            u, r, rn, it, lin = st
+        def linear_solve_at(u):
+            """Assemble the local Jacobian at ``u`` and return the sharded
+            linear solver r -> (du, krylov_iters)."""
             u_ext = halo_gather(u)
             up_ext = halo_gather(up_loc)
             J_e, J_f = local_jacobian(
@@ -913,10 +932,22 @@ def make_sharded_step(
                 # f64 GMRES over the f32 SPIKE direct apply — BiCGStab
                 # breaks down under an f32-quality preconditioner on
                 # these Jacobians (see gmres_sharded docstring)
-                du, klin = gmres_sharded(mv, Minv_apply, r)
-            else:
-                Minv_apply = lambda rr: jnp.einsum("nfg,ng->nf", Minv, rr)
-                du, klin = bicgstab_sharded(mv, Minv_apply, r)
+                return lambda rr: gmres_sharded(mv, Minv_apply, rr)
+            Minv_apply = lambda rr: jnp.einsum("nfg,ng->nf", Minv, rr)
+            return lambda rr: bicgstab_sharded(mv, Minv_apply, rr)
+
+        # refresh='step': one Jacobian assembly + SPIKE factorization at
+        # the step's start iterate, reused by every Newton iteration
+        # (modified/chord Newton — the distributed analogue of
+        # LinearConfig.refresh='step'; convergence is still certified on
+        # the true residual).  XLA hoists the frozen factors out of the
+        # while_loop as loop constants.
+        solve0 = linear_solve_at(u0) if refresh == "step" else None
+
+        def body(st):
+            u, r, rn, it, lin = st
+            solve = solve0 if refresh == "step" else linear_solve_at(u)
+            du, klin = solve(r)
             u = u - relaxation * du
             r = residual(u)
             return (u, r, pnorm(r), it + 1, lin + klin)

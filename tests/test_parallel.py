@@ -299,3 +299,50 @@ def test_pore_sweep_carried_matches_iter():
     hist_s, stats_s = run_pore_voltage_sweep(cfg_c, voltages, n_steps=2,
                                              chunk=2)
     assert bool(np.asarray(stats_s.converged).all())
+
+
+def test_sharded_step_refresh_matches_iter():
+    """refresh='step' (one Jacobian assembly + SPIKE factorization per
+    time step, chord Newton within the step) converges to the same
+    solution as per-iterate refresh at tight tolerances."""
+    devices = jax.devices()
+    if len(devices) < 4:
+        pytest.skip("needs virtual device mesh")
+    n_dev = 4
+    cfg = pore_3d.Pore3DConfig(
+        physics="GMPNP", mesh_resolution=(2, 16),
+        newton=NewtonConfig(max_iter=50, rtol=1e-10, atol=1e-10,
+                            relaxation=0.9))
+    prog = pore_3d.build(cfg)
+    nf, ns = cfg.n_fields, len(cfg.species)
+    N = prog.space.num_vertices
+    theta = {"dt": jnp.asarray(prog.dt_scaled),
+             "co2_s1": jnp.asarray(
+                 prog.eq_conc["CO2"] / prog.bulk_conc["CO2"])}
+    bc = prog._bc_of_theta(theta)
+    mask = np.asarray(bc.mask)
+    vals = np.asarray(bc.values)
+    plan = ZShardPlan.build(prog.mesh, nf, n_dev, mask, vals,
+                            quad_degree=cfg.quad_degree)
+    u0 = jnp.ones((N, nf)).at[:, ns].set(0.0)
+    N_pad = plan.n_dev * plan.N_p
+    u0_pad = jnp.zeros((N_pad, nf)).at[:N].set(u0)
+
+    results = {}
+    for refresh in ("iter", "step"):
+        step_sh, dev_mesh, u_shd = make_sharded_step(
+            plan, prog.form, devices[:n_dev],
+            newton_max_iter=50, newton_rtol=1e-10, newton_atol=1e-10,
+            relaxation=0.9, krylov_tol=1e-10, krylov_maxiter=4000,
+            linear="slab_direct", refresh=refresh)
+        u0_sh = jax.device_put(u0_pad, u_shd)
+        u_new, (iters, conv, rn, lin) = step_sh(u0_sh, u0_sh, theta)
+        assert bool(conv), refresh
+        results[refresh] = (np.asarray(u_new)[:N], int(iters), int(lin))
+
+    a, it_a, _ = results["iter"]
+    b, it_b, _ = results["step"]
+    err = np.linalg.norm(a - b) / np.linalg.norm(a)
+    assert err < 1e-7, err
+    # chord may take a few more (cheap) iterations, never fewer
+    assert it_b >= it_a
