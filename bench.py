@@ -167,25 +167,53 @@ def _build_rxn3d(refresh="carried"):
     return run, u0, key, N_STEPS
 
 
-def _build_edl():
+def _build_edl(refresh="carried"):
+    import dataclasses
+
+    import jax
     import jax.numpy as jnp
 
     from gmpnp_tpu.models import edl_1d
-    from gmpnp_tpu.solve.timeloop import make_implicit_step
 
     cfg = edl_1d.EDL1DConfig(L_n=1.0e-6, dry_run=True)
     prog = edl_1d.build(cfg)
-    step = make_implicit_step(prog.space, prog.form, cfg.newton, cfg.linear,
-                              bc_of_theta=lambda theta: prog.bc)
     n = 100   # dry-run schedule length (ref 1D/MPNP_CO2ER_EDL.py:256-268)
-    run = _scan_transient(
-        prog, step, n,
-        jnp.asarray(0.001 if cfg.H_OHP is not None else 0.0),
-        update_carry=prog._update_carry)
+    chf0 = jnp.asarray(0.001 if cfg.H_OHP is not None else 0.0)
+    if refresh == "carried":
+        from gmpnp_tpu.solve.timeloop import make_carried_step
+
+        lin = dataclasses.replace(cfg.linear, refresh="carried")
+        step, prep_init = make_carried_step(
+            prog.space, prog.form, cfg.newton, lin,
+            bc_of_theta=lambda theta: prog.bc)
+
+        def run(u0):
+            th0 = prog._theta_of_carry((u0, chf0), jnp.asarray(0))
+            prep0 = prep_init(u0, th0)
+
+            def body(carry, i):
+                u, chf, prep = carry
+                th = prog._theta_of_carry((u, chf), i)
+                u_new, st, prep = step(u, th, prep)
+                chf = prog._update_carry(chf, u_new, i)
+                return (u_new, chf, prep), st.newton_iters
+
+            (u, _, _), iters = jax.lax.scan(
+                body, (u0, chf0, prep0), jnp.arange(n))
+            return u, iters
+    else:
+        from gmpnp_tpu.solve.timeloop import make_implicit_step
+
+        step = make_implicit_step(
+            prog.space, prog.form, cfg.newton, cfg.linear,
+            bc_of_theta=lambda theta: prog.bc)
+        run = _scan_transient(prog, step, n, chf0,
+                              update_carry=prog._update_carry)
     u0 = jnp.concatenate(
         [jnp.ones((prog.space.num_vertices, 6)),
          jnp.zeros((prog.space.num_vertices, 1))], axis=1)
-    key = f"edl1d_gmpnp/1um/N{prog.space.num_vertices}/steps{n}/cr/{VER}"
+    mode = "cr-carried" if refresh == "carried" else "cr"
+    key = f"edl1d_gmpnp/1um/N{prog.space.num_vertices}/steps{n}/{mode}/{VER}"
     return run, u0, key, n
 
 
@@ -511,7 +539,9 @@ def _child(config: str) -> dict:
         return rec
 
     if config == "edl":
-        return _transient_record(_build_edl, "ms_per_step", accel)
+        return _transient_record(
+            lambda: _build_edl("carried"), "ms_per_step", accel,
+            cpu_build=lambda: _build_edl("iter"))
 
     if config == "rxn1d":
         rec = _transient_record(_build_rxn1d, "ms_per_step", accel)

@@ -65,6 +65,13 @@ def build_parser():
                         "(default), g > 0 = accept while the residual grows "
                         "by < g (non-monotone; the production sweep rule, "
                         "solve.newton.newton_solve)")
+    p.add_argument("--linear_refresh", type=str, default=None,
+                   choices=("iter", "step", "carried"),
+                   help="factorization refresh policy: 'iter' = exact "
+                        "Newton (reference-parity default); 'carried' = "
+                        "carry the CR factorization across steps with lazy "
+                        "refresh (chord Newton, the fast production mode; "
+                        "solve.timeloop.make_carried_step)")
     return p
 
 
@@ -94,6 +101,10 @@ def main(argv=None):
         import dataclasses
         cfg = dataclasses.replace(cfg, newton=dataclasses.replace(
             cfg.newton, bt_growth=args.newton_bt_growth))
+    if args.linear_refresh:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, linear=dataclasses.replace(
+            cfg.linear, refresh=args.linear_refresh))
     res = edl_1d.run(cfg, out_root=args.out_root, n_steps=args.n_steps,
                      record_stride=args.record_stride,
                      checkpoint_dir=args.checkpoint_dir,

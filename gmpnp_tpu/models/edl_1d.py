@@ -41,7 +41,9 @@ from gmpnp_tpu.models import base
 from gmpnp_tpu.solve.timeloop import (
     LinearConfig,
     NewtonConfig,
+    make_carried_step,
     make_implicit_step,
+    make_recovering_carried_step,
     make_recovering_step,
     run_transient,
 )
@@ -194,7 +196,22 @@ class EDL1DProgram:
             bt = 0 if cfg.dry_run else 4
         newton = (_dc_replace(cfg.newton, backtracking=bt)
                   if bt != cfg.newton.backtracking else cfg.newton)
-        if retries > 0:
+        carried = (cfg.linear.kind == "tridiag_cr"
+                   and cfg.linear.refresh == "carried")
+        prep_init = None
+        if carried:
+            # carried-factor chord Newton: the f64 CR factorization rides
+            # the scan carry (solve.timeloop.make_carried_step) — warm
+            # steps skip the per-iterate assemble+factor
+            if retries > 0:
+                step, prep_init = make_recovering_carried_step(
+                    self.space, self.form, newton, cfg.linear,
+                    bc_of_theta=lambda theta: self.bc, max_retries=retries)
+            else:
+                step, prep_init = make_carried_step(
+                    self.space, self.form, newton, cfg.linear,
+                    bc_of_theta=lambda theta: self.bc)
+        elif retries > 0:
             step = make_recovering_step(
                 self.space, self.form, newton, cfg.linear,
                 bc_of_theta=lambda theta: self.bc, max_retries=retries)
@@ -211,11 +228,16 @@ class EDL1DProgram:
                 TransientCheckpointer,
                 run_transient_checkpointed,
             )
+            state_init = None
+            if carried:
+                state_init = lambda carry, i: jax.jit(prep_init)(
+                    carry[0], self._theta_of_carry(carry, jnp.asarray(i)))
             ckpt = TransientCheckpointer(checkpoint_dir, cfg=cfg)
             (u_final, chf), ys = run_transient_checkpointed(
                 step, (u0, chf0), n, ckpt, chunk=checkpoint_every,
                 theta_of_carry=self._theta_of_carry,
-                update_carry=self._update_carry)
+                update_carry=self._update_carry,
+                step_state_init=state_init)
             ckpt.close()
             if ys is None:
                 # resumed at the final step (VERDICT r2 weak #2): return the
@@ -223,6 +245,15 @@ class EDL1DProgram:
                 # the writers rebuild the finished run's outputs cleanly
                 return u0, np.asarray(u_final)[None], None, float(chf)
             u_hist, stats = ys
+        elif carried:
+            prep0 = jax.jit(prep_init)(
+                u0, self._theta_of_carry((u0, chf0), jnp.asarray(0)))
+            (u_final, chf, _), (u_hist, stats) = run_transient(
+                step, (u0, chf0), n,
+                theta_of_carry=self._theta_of_carry,
+                update_carry=self._update_carry,
+                record_stride=record_stride,
+                step_state0=prep0)
         else:
             (u_final, chf), (u_hist, stats) = run_transient(
                 step, (u0, chf0), n,

@@ -122,6 +122,13 @@ class LinearConfig:
     # the chord attempt gets a short leash and the fallback re-solves the
     # step with per-iterate re-factorization (identical to refresh='iter')
     chord_max_iter: int = 16
+    # 'carried' only: inner GMRES tolerance for the chord directions.
+    # The chord direction is already inexact (stale Jacobian), so
+    # polishing it to the exact path's `tol` (1e-8, MUMPS parity) buys
+    # nothing — its error is dominated by staleness, and Newton certifies
+    # on the true residual regardless.  None = use `tol`.  The exact
+    # fallback always solves to `tol`.
+    chord_tol: Optional[float] = 1.0e-6
     # Jacobian assembly precision: 'f32' evaluates element Jacobians in
     # float32 (inexact Newton; residuals and convergence checks stay f64).
     # A ~1e-7-relative Jacobian error is invisible at the reference's
@@ -416,16 +423,11 @@ def make_carried_step(
     or refresh='iter' there.
     """
     _validate_linear_config(linear_cfg)
-    if linear_cfg.kind != "slab_direct":
+    if linear_cfg.kind not in ("slab_direct", "tridiag_cr"):
         raise ValueError(
-            "make_carried_step requires kind='slab_direct' (the carried "
-            f"state is the slab factorization), got {linear_cfg.kind!r}")
-    from gmpnp_tpu.solve.slab import SlabPlan, slab_apply, slab_prepare
-
-    plan = SlabPlan.build(
-        np.asarray(space.adj), np.asarray(space.points)[:, -1],
-        space.n_fields, np.asarray(space.diag_slot),
-        max_slabs=linear_cfg.max_slabs)
+            "make_carried_step requires a direct kind whose factorization "
+            "can ride the carry ('slab_direct' for 3D, 'tridiag_cr' for "
+            f"1D), got {linear_cfg.kind!r}")
 
     def assemble(u, u_prev, theta, bc):
         aux = theta.get("_aux") if isinstance(theta, dict) else None
@@ -437,9 +439,29 @@ def make_carried_step(
                                ell_raw.diag_slot)
         return bc.apply_to_jacobian(ell_raw)
 
-    def prep_of(u, u_prev, theta, bc):
-        return slab_prepare(assemble(u, u_prev, theta, bc), plan,
-                            mode=linear_cfg.slab_mode)
+    if linear_cfg.kind == "slab_direct":
+        from gmpnp_tpu.solve.slab import SlabPlan, slab_apply, slab_prepare
+
+        plan = SlabPlan.build(
+            np.asarray(space.adj), np.asarray(space.points)[:, -1],
+            space.n_fields, np.asarray(space.diag_slot),
+            max_slabs=linear_cfg.max_slabs)
+
+        def prep_of(u, u_prev, theta, bc):
+            return slab_prepare(assemble(u, u_prev, theta, bc), plan,
+                                mode=linear_cfg.slab_mode)
+    else:
+        # 1D: carry the all-f64 cyclic-reduction factorization (the fused
+        # f64 CR is the 1D production solver — mixed precision loses at
+        # EDL sizes, docs/TPU_NOTES.md probe_r3_u; the chord apply below
+        # is exact for the stale matrix, so chord quality is governed by
+        # staleness alone)
+        from gmpnp_tpu.solve.linear import block_tridiag_factor_cr
+
+        def prep_of(u, u_prev, theta, bc):
+            lo, di, up = block_tridiag_from_ell(
+                assemble(u, u_prev, theta, bc))
+            return block_tridiag_factor_cr(lo, di, up)
 
     def prep_init(u0, theta):
         bc = bc_of_theta(theta)
@@ -457,12 +479,24 @@ def make_carried_step(
             return bc.apply_to_residual(
                 space.residual(form, u, u_prev, theta, aux=aux), u)
 
-        def lin_of(p):
-            def lin(u, r):
-                res = slab_apply(p, r, plan, tol=linear_cfg.tol,
-                                 max_refine=linear_cfg.max_refine)
-                return res.x, res.iters
-            return lin
+        chord_tol = (linear_cfg.tol if linear_cfg.chord_tol is None
+                     else linear_cfg.chord_tol)
+
+        if linear_cfg.kind == "slab_direct":
+            def lin_of(p):
+                def lin(u, r):
+                    res = slab_apply(p, r, plan, tol=chord_tol,
+                                     max_refine=linear_cfg.max_refine)
+                    return res.x, res.iters
+                return lin
+        else:
+            from gmpnp_tpu.solve.linear import block_tridiag_apply_cr
+
+            def lin_of(p):
+                def lin(u, r):
+                    return (block_tridiag_apply_cr(p, r),
+                            jnp.array(0, jnp.int32))
+                return lin
 
         u0 = bc.project(u_prev)
 

@@ -221,3 +221,27 @@ def test_parity_vs_reference_published_ohp_values(vmult, ref_E, ref_eps):
     assert m["all_steps_converged"]
     assert m["field_OHP"] == pytest.approx(ref_E, rel=0.03)
     assert m["eps_rel_OHP"] == pytest.approx(ref_eps, rel=0.03)
+
+
+def test_carried_factor_matches_exact_newton_1d():
+    """1D carried mode (the f64 CR factorization riding the scan carry,
+    solve.timeloop.make_carried_step kind='tridiag_cr') converges to the
+    same per-step solutions as exact Newton at tight tolerances."""
+    import dataclasses
+
+    import numpy as np
+
+    u_by_mode = {}
+    for refresh in ("iter", "carried"):
+        cfg = edl_1d.EDL1DConfig(L_n=1.0e-6, dry_run=True)
+        cfg = dataclasses.replace(
+            cfg,
+            newton=dataclasses.replace(cfg.newton, rtol=1e-9, atol=1e-9),
+            linear=dataclasses.replace(cfg.linear, refresh=refresh))
+        prog = edl_1d.build(cfg)
+        _, hist, stats, _ = prog.run(n_steps=6)
+        assert bool(np.asarray(stats.converged).all()), refresh
+        u_by_mode[refresh] = np.asarray(hist[-1])
+    a, b = u_by_mode["iter"], u_by_mode["carried"]
+    rel = np.linalg.norm(a - b) / np.linalg.norm(a)
+    assert rel < 1e-7, rel
