@@ -101,10 +101,34 @@ def ell_matvec_pallas(ell, x: jnp.ndarray,
     blocks = ell.blocks4()
     if interpret is True:
         return ell_block_contract_pallas(blocks, xg, interpret=True)
+    return ell_contract_dispatch(blocks, xg)
+
+
+def ell_contract_dispatch(blocks: jnp.ndarray, xg: jnp.ndarray,
+                          interpret: bool = None) -> jnp.ndarray:
+    """Backend-dispatched block-ELL contraction on PRE-GATHERED operands:
+    ``(N, K, f, f) x (N, K, f) -> (N, f)``.
+
+    Taking ``blocks`` (rather than a BlockELL) lets callers hoist the
+    (N, f, K*f) -> (N, K, f, f) relayout out of a Krylov loop — the
+    carried-mode f32 chord solve (solve.slab.slab_apply_f32) casts and
+    relayouts the stale equilibrated matrix once per time step and runs
+    only gather + contract per GMRES iteration.
+
+    TPU lowers to the hardware-validated Pallas kernel (full-f32 VPU
+    multiply+sum — NOT a default-precision dot, which runs bf16-grade
+    passes on the MXU, docs/TPU_NOTES.md); other backends take the
+    mathematically identical full-precision einsum.
+    """
+    if interpret is True:
+        return ell_block_contract_pallas(blocks, xg, interpret=True)
     return jax.lax.platform_dependent(
         blocks, xg,
         tpu=lambda b, g: ell_block_contract_pallas(b, g, interpret=False),
         # the fused einsum is fine off-TPU (the TPU VMEM-overflow fault
-        # that motivated this kernel is TPU-specific, docs/TPU_NOTES.md)
-        default=lambda b, g: jnp.einsum("nkfg,nkg->nf", b, g),
+        # that motivated this kernel is TPU-specific, docs/TPU_NOTES.md);
+        # HIGHEST precision keeps the f32 contraction full-precision on
+        # backends that would otherwise split into bf16-grade passes
+        default=lambda b, g: jnp.einsum("nkfg,nkg->nf", b, g,
+                                        precision=jax.lax.Precision.HIGHEST),
     )

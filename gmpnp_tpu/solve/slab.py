@@ -491,6 +491,67 @@ def slab_apply(
                            converged=res.converged)
 
 
+def slab_apply_f32(
+    prep: SlabPrepared,
+    rhs: jnp.ndarray,
+    plan: SlabPlan,
+    tol: float = 1.0e-5,
+    max_refine: int = 16,
+) -> SlabSolveResult:
+    """Chord-direction solve of ``ell @ x = rhs`` in NATIVE f32.
+
+    The carried-mode chord directions (LinearConfig.refresh='carried',
+    chord_dtype='f32') do not need slab_apply's f64 polish: their error
+    is dominated by Jacobian STALENESS (the factorization is frozen from
+    an earlier state), and Newton certifies convergence on the true f64
+    residual regardless.  Running the whole preconditioned GMRES in f32
+    removes every emulated-f64 operation from the warm path — the f64
+    BlockELL matvec (~10x emulation tax on TPU) and the f64 Arnoldi
+    vector arithmetic — leaving only native-f32 work: the block-Thomas/CR
+    banded solve, the Pallas block-ELL contraction (ops.ell_spmv — TPU
+    backends run the hardware-validated kernel; others a full-precision
+    einsum), and f32 Givens/CGS2 under ``default_matmul_precision
+    ('highest')`` (TPU DEFAULT-precision f32 dots run bf16-grade passes,
+    which would stall GMRES around 1e-3).
+
+    The equilibrated system is well-ranged for f32 (every block row is
+    O(1) after the f64 block-Jacobi scaling baked into ``prep``), and the
+    returned direction is exact-to-f32 of the STALE system: a chord
+    iteration with it converges whenever the f64-direction chord does,
+    within ~1 extra iteration (direction error ~1e-5 relative vs the
+    staleness error it already tolerates).
+
+    Casts/relayouts of the carried matrix happen OUTSIDE the GMRES loop
+    (once per time step trace); each iteration is gather + contract.
+    """
+    from gmpnp_tpu.ops.ell_spmv import ell_contract_dispatch
+    from gmpnp_tpu.solve.linear import gmres
+
+    out_dtype = rhs.dtype
+    with jax.default_matmul_precision("highest"):
+        Dinv32 = prep.Dinv0.astype(jnp.float32)
+        b = jnp.einsum("nfg,ng->nf", Dinv32, rhs.astype(jnp.float32))
+        # hoisted once per step: f32 cast + (N, f, K*f) -> (N, K, f, f)
+        N, f, Kf = prep.ell_eq.flat.shape
+        K = Kf // f
+        blocks32 = jnp.swapaxes(
+            prep.ell_eq.flat.astype(jnp.float32).reshape(N, f, K, f), 1, 2)
+        adj = prep.ell_eq.adj
+        solver = (slab_solve_cr if isinstance(prep.factors, CRFactors)
+                  else slab_solve)
+
+        def mv(x32):
+            return ell_contract_dispatch(blocks32, x32[adj])
+
+        def pc(r32):
+            return plan.from_slabs(solver(prep.factors, plan.to_slabs(r32)))
+
+        res = gmres(mv, b, Minv=pc, tol=tol,
+                    restart=min(max_refine, 16), maxiter=max_refine)
+    return SlabSolveResult(x=res.x.astype(out_dtype), resnorm=res.resnorm,
+                           iters=res.iters, converged=res.converged)
+
+
 def slab_direct_solve(
     ell: BlockELL,
     rhs: jnp.ndarray,

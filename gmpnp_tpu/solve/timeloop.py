@@ -129,6 +129,31 @@ class LinearConfig:
     # on the true residual regardless.  None = use `tol`.  The exact
     # fallback always solves to `tol`.
     chord_tol: Optional[float] = 1.0e-6
+    # 'carried' + kind='slab_direct' only: precision of the chord-
+    # direction linear solves.  'f32' runs the whole preconditioned GMRES
+    # in native f32 (solve.slab.slab_apply_f32: f32 banded solve + the
+    # Pallas block-ELL contraction of ops.ell_spmv on TPU), removing
+    # every emulated-f64 op from the warm path.  The direction error
+    # (~1e-5 relative) is dominated by the Jacobian staleness the chord
+    # already tolerates, and Newton still certifies on the true f64
+    # residual — so chord_dtype changes per-iterate directions, never the
+    # accepted solutions.  The exact-Newton fallback always solves f64 to
+    # `tol`.  1D (tridiag_cr) keeps its all-f64 fused CR: 1D solves are
+    # launch-latency-bound, and mixed precision measured 3.7x SLOWER at
+    # EDL sizes (probe_r3_u).
+    chord_dtype: str = "f32"
+    # 'carried' only: start each step's chord attempt from the decay-
+    # scaled extrapolation u_prev + clip(rho * dt/dt_prev, 0, 1.5) * du,
+    # where du = u_prev - u_prevprev and rho = ||du_n||/||du_{n-1}|| is
+    # the observed per-step increment decay (raw linear extrapolation
+    # overshoots rapidly-settling transients; the decay scaling predicts
+    # ~u_prev there and the full increment under steady drift).  With
+    # the models' ABSOLUTE Newton tolerance (atol=1e-4, reference
+    # parity) a good prediction lets warm steps accept at entry — ONE
+    # f64 residual evaluation and zero linear solves.  The exact-Newton
+    # fallback still starts from the SAFE u_prev, so a bad prediction
+    # costs a failed chord attempt, never a failed step.
+    chord_predict: bool = True
     # Jacobian assembly precision: 'f32' evaluates element Jacobians in
     # float32 (inexact Newton; residuals and convergence checks stay f64).
     # A ~1e-7-relative Jacobian error is invisible at the reference's
@@ -191,6 +216,9 @@ def _validate_linear_config(cfg: LinearConfig) -> None:
     if cfg.solve_dtype not in ("f32", "f64"):
         raise ValueError(f"solve_dtype must be 'f32' or 'f64', got "
                          f"{cfg.solve_dtype!r}")
+    if cfg.chord_dtype not in ("f32", "f64"):
+        raise ValueError(f"chord_dtype must be 'f32' or 'f64', got "
+                         f"{cfg.chord_dtype!r}")
     if cfg.matvec == "pallas" and cfg.solve_dtype != "f32":
         raise ValueError(
             "matvec='pallas' requires solve_dtype='f32' (Pallas TPU has no "
@@ -377,19 +405,49 @@ def make_implicit_step(
     return step
 
 
+class ChordCarry(NamedTuple):
+    """Scan-carried state of the carried-factor chord Newton step.
+
+    Opaque to callers (models/bench thread it through scans and rebuild
+    it on checkpoint resume via ``prep_init`` — everything here is
+    DERIVED data, never checkpointed):
+
+    - ``prep``: the stale factorization (solve.slab.SlabPrepared for 3D,
+      linear CRFactors for 1D);
+    - ``du``: the previous accepted step's state increment u_n - u_{n-1}
+      (zeros at init/resume — the first step simply predicts u_prev);
+    - ``dt_prev``: the dt that produced ``du`` (for the extrapolation
+      ratio under staged-dt schedules and recovery halvings);
+    - ``du_nrm_prev``: ||u_{n-1} - u_{n-2}|| — the increment norm BEFORE
+      ``du``, for the decay estimate rho = ||du||/du_nrm_prev.  Raw
+      linear extrapolation overshoots on rapidly SETTLING transients
+      (measured: the cold-start equilibration jump of step 1
+      extrapolated into step 2 cost 3 extra chord iterations —
+      probe_r3_ae CPU); scaling by the observed geometric decay predicts
+      ~u_prev when settling and the full increment when drifting
+      steadily (and is self-consistent: an entry-accepted prediction
+      yields du_new = rho*du exactly, keeping the estimate alive).
+    """
+    prep: Any
+    du: jnp.ndarray
+    dt_prev: jnp.ndarray
+    du_nrm_prev: jnp.ndarray
+
+
 def make_carried_step(
     space: FemSpace,
     form: WeakForm,
     newton_cfg: NewtonConfig,
     linear_cfg: LinearConfig,
     bc_of_theta: Callable[[Any], DirichletBC],
+    dt_key: str = "dt",
 ):
     """Carried-factor transient step (``LinearConfig.refresh='carried'``).
 
     Returns ``(step, prep_init)`` where
 
-        step: (u_prev, theta, prep) -> (u_new, StepStats, prep_new)
-        prep_init: (u0, theta) -> SlabPrepared
+        step: (u_prev, theta, carry) -> (u_new, StepStats, carry_new)
+        prep_init: (u0, theta) -> ChordCarry
 
     The slab factorization (``solve.slab.SlabPrepared``) rides the
     transient scan carry instead of being rebuilt per Newton iterate
@@ -416,6 +474,26 @@ def make_carried_step(
     asm 450 + factor 217 + equil 61 of a ~800 ms warm Newton iteration
     at the shipped N=3,679 mesh (probes/probe_r3_v.py) — leaving only
     residual evaluations and banded applies.
+
+    Two further warm-path reductions (round 3, both default-on):
+
+    - ``linear_cfg.chord_predict``: the chord attempt starts from the
+      decay-scaled extrapolation ``u_prev + clip(rho*dt/dt_prev) * du``
+      carried in ``ChordCarry`` (rho = observed increment decay — see
+      ChordCarry for why raw extrapolation loses).  Acceptance is
+      ``||r|| < atol OR ||r|| < rtol*||r0||`` (DOLFIN parity):
+      prediction can only shrink the required reduction (the rtol
+      factor is fixed; the atol floor engages as r0 shrinks), and a
+      step whose predicted entry residual is already below atol costs
+      ONE f64 residual evaluation total.  The exact-Newton fallback
+      always starts from the safe u_prev.
+    - ``linear_cfg.chord_dtype='f32'`` (slab_direct only): chord
+      directions solve in native f32 (solve.slab.slab_apply_f32) — the
+      f32 banded apply plus the Pallas block-ELL contraction
+      (ops.ell_spmv) inside an all-f32 GMRES, eliminating the
+      emulated-f64 matvec/Arnoldi tax.  Direction error (~1e-5) is
+      dominated by the Jacobian staleness the chord already tolerates;
+      convergence is still certified on the true f64 residual.
 
     NOTE: under ``jax.vmap`` the two ``lax.cond`` branches both execute
     for every lane (cond lowers to select), so vmapped sweeps would pay
@@ -463,15 +541,25 @@ def make_carried_step(
                 assemble(u, u_prev, theta, bc))
             return block_tridiag_factor_cr(lo, di, up)
 
+    def _dt_of(theta):
+        if isinstance(theta, dict) and dt_key in theta:
+            return jnp.asarray(theta[dt_key], jnp.float64)
+        return jnp.asarray(1.0, jnp.float64)
+
     def prep_init(u0, theta):
         bc = bc_of_theta(theta)
-        return prep_of(bc.project(u0), u0, theta, bc)
+        return ChordCarry(
+            prep=prep_of(bc.project(u0), u0, theta, bc),
+            du=jnp.zeros_like(u0),
+            dt_prev=_dt_of(theta),
+            du_nrm_prev=jnp.asarray(0.0, jnp.float64))
 
     # exact-Newton fallback: per-iterate assemble+factor, as refresh='iter'
     exact_lin_builder = make_linear_solver(
         space, form, dataclasses.replace(linear_cfg, refresh="iter"))
 
-    def step(u_prev, theta, prep):
+    def step(u_prev, theta, carry):
+        prep = carry.prep
         bc = bc_of_theta(theta)
         aux = theta.get("_aux") if isinstance(theta, dict) else None
 
@@ -483,12 +571,31 @@ def make_carried_step(
                      else linear_cfg.chord_tol)
 
         if linear_cfg.kind == "slab_direct":
-            def lin_of(p):
-                def lin(u, r):
-                    res = slab_apply(p, r, plan, tol=chord_tol,
-                                     max_refine=linear_cfg.max_refine)
-                    return res.x, res.iters
-                return lin
+            if linear_cfg.chord_dtype == "f32":
+                # native-f32 chord directions: f32 banded solve + the
+                # Pallas block-ELL contraction (TPU) inside an all-f32
+                # GMRES — no emulated-f64 op on the warm path.  The f32
+                # Givens recursion stalls below ~1e-6 relative, so the
+                # tolerance is floored there (direction quality is
+                # staleness-dominated anyway; Newton certifies on the
+                # true f64 residual).
+                from gmpnp_tpu.solve.slab import slab_apply_f32
+                tol32 = max(chord_tol, 1.0e-6)
+
+                def lin_of(p):
+                    def lin(u, r):
+                        res = slab_apply_f32(
+                            p, r, plan, tol=tol32,
+                            max_refine=min(linear_cfg.max_refine, 16))
+                        return res.x, res.iters
+                    return lin
+            else:
+                def lin_of(p):
+                    def lin(u, r):
+                        res = slab_apply(p, r, plan, tol=chord_tol,
+                                         max_refine=linear_cfg.max_refine)
+                        return res.x, res.iters
+                    return lin
         else:
             from gmpnp_tpu.solve.linear import block_tridiag_apply_cr
 
@@ -498,9 +605,28 @@ def make_carried_step(
                             jnp.array(0, jnp.int32))
                 return lin
 
-        u0 = bc.project(u_prev)
+        u0_safe = bc.project(u_prev)
+        nrm_du = jnp.linalg.norm(carry.du)
+        if linear_cfg.chord_predict:
+            # decay-aware extrapolated start for the CHORD attempt only:
+            # with the models' absolute Newton tolerance (atol=1e-4) a
+            # good prediction lets warm steps accept at entry — one
+            # residual evaluation, zero linear solves.  The increment is
+            # scaled by the OBSERVED geometric decay rho = ||du_n|| /
+            # ||du_{n-1}|| (raw linear extrapolation overshoots settling
+            # transients — see ChordCarry) times the dt ratio (staged-dt
+            # schedules), clipped; du=0 at init/resume predicts u_prev.
+            dt = _dt_of(theta)
+            rho = jnp.where(carry.du_nrm_prev > 0,
+                            nrm_du / jnp.maximum(carry.du_nrm_prev, 1e-300),
+                            0.0)
+            ratio = jnp.where(carry.dt_prev > 0, dt / carry.dt_prev, 0.0)
+            factor = jnp.clip(rho * ratio, 0.0, 1.5).astype(u_prev.dtype)
+            u0_chord = bc.project(u_prev + factor * carry.du)
+        else:
+            u0_chord = u0_safe
 
-        def run_newton(lin, max_iter):
+        def run_newton(lin, max_iter, u0):
             return newton_solve(
                 residual, lin, u0,
                 rtol=newton_cfg.rtol, atol=newton_cfg.atol,
@@ -513,11 +639,15 @@ def make_carried_step(
 
         res1 = run_newton(
             lin_of(prep),
-            min(linear_cfg.chord_max_iter, newton_cfg.max_iter))
+            min(linear_cfg.chord_max_iter, newton_cfg.max_iter),
+            u0_chord)
 
         def fresh(_):
+            # exact-Newton re-solve from the SAFE start (a bad
+            # extrapolation must never make the recovery path worse
+            # than the pre-predictor behavior)
             res2 = run_newton(exact_lin_builder(bc, u_prev, theta),
-                              newton_cfg.max_iter)
+                              newton_cfg.max_iter, u0_safe)
             return res2, prep_of(res2.u, u_prev, theta, bc)
 
         def keep(_):
@@ -538,7 +668,10 @@ def make_carried_step(
             converged=res.converged,
             residual_norm=res.residual_norm,
             linear_iters=res.linear_iters)
-        return res.u, stats, prep_new
+        carry_new = ChordCarry(prep=prep_new, du=res.u - u_prev,
+                               dt_prev=_dt_of(theta),
+                               du_nrm_prev=nrm_du)
+        return res.u, stats, carry_new
 
     return step, prep_init
 
@@ -658,6 +791,11 @@ def make_recovering_carried_step(
 
         def body(state):
             k, u, st, p = state
+            # the failed attempt's du is a non-converged increment — zero
+            # it so the dt-halved retry's chord attempt starts from the
+            # safe u_prev instead of extrapolating garbage
+            p = p._replace(du=jnp.zeros_like(p.du),
+                           du_nrm_prev=jnp.zeros_like(p.du_nrm_prev))
             u2, st2, p2 = attempt(k + 1, p)
             return (k + 1, u2, st2, p2)
 

@@ -218,6 +218,60 @@ def test_carried_factor_matches_exact_newton():
     assert rel < 1e-8, rel
 
 
+def test_carried_chord_knob_combinations():
+    """The carried-mode knobs (chord_dtype='f64', chord_predict=False —
+    the conservative settings behind the f32+predictor defaults) each
+    converge to the exact-Newton states at tight tolerances: the knobs
+    change per-iterate directions and start iterates, never the accepted
+    solutions (Newton certifies on the true f64 residual)."""
+    import dataclasses as dc
+
+    newton = NewtonConfig(max_iter=50, rtol=1e-11, atol=1e-11,
+                          relaxation=0.9)
+    base_lin = LinearConfig(kind="slab_direct", tol=1e-12)
+    cfg = small_cfg(physics="GMPNP", newton=newton, linear=base_lin)
+    prog = pore_3d.build(cfg)
+    _, _, stats_ref, u_ref = prog.run(n_steps=3)
+    assert bool(np.asarray(stats_ref.converged).all())
+    u_ref = np.asarray(u_ref)
+
+    for chord_dtype, predict in (("f64", False), ("f64", True)):
+        cfg = small_cfg(
+            physics="GMPNP", newton=newton,
+            linear=dc.replace(base_lin, refresh="carried",
+                              chord_dtype=chord_dtype,
+                              chord_predict=predict))
+        prog = pore_3d.build(cfg)
+        _, _, stats, u = prog.run(n_steps=3)
+        assert bool(np.asarray(stats.converged).all()), (chord_dtype,
+                                                         predict)
+        rel = (np.linalg.norm(np.asarray(u) - u_ref)
+               / np.linalg.norm(u_ref))
+        assert rel < 1e-8, (chord_dtype, predict, rel)
+
+
+def test_chord_predictor_cuts_warm_iterations():
+    """At the production tolerances (atol=1e-4, reference parity) the
+    extrapolated chord start iterate never increases the total Newton
+    work over a transient window: acceptance is ``||r|| < atol OR ||r||
+    < rtol*||r0||``, and prediction can only shrink the required
+    reduction (the rtol factor is fixed; the atol floor engages as the
+    predicted entry residual shrinks)."""
+    import dataclasses as dc
+
+    lin = LinearConfig(kind="slab_direct", tol=1e-8, refresh="carried")
+    iters = {}
+    for predict in (False, True):
+        cfg = small_cfg(
+            physics="GMPNP",
+            linear=dc.replace(lin, chord_predict=predict))
+        prog = pore_3d.build(cfg)
+        _, _, stats, _ = prog.run(n_steps=5)
+        assert bool(np.asarray(stats.converged).all()), predict
+        iters[predict] = int(np.asarray(stats.newton_iters).sum())
+    assert iters[True] <= iters[False], iters
+
+
 def test_carried_factor_checkpoint_resume(tmp_path):
     """The carried factorization is derived data: a checkpointed carried
     run resumes from the orbax state (rebuilding the factor) and matches

@@ -150,6 +150,39 @@ def test_slab_direct_solve_f64_accuracy():
     assert err < 1e-8, err
 
 
+def test_slab_apply_f32_direction_quality():
+    """The native-f32 chord-direction solve (slab_apply_f32: f32 banded
+    preconditioner + block-ELL contraction inside an all-f32 GMRES)
+    reaches ~tol-quality directions on an equilibration-stressed system —
+    accurate far beyond what a chord iteration needs (its error budget is
+    Jacobian staleness, ~1e-2-level)."""
+    from gmpnp_tpu.solve.slab import slab_apply_f32, slab_prepare
+
+    space = _pore_space(n_fields=3)
+    f = 3
+    ell = _random_ell(space, f, seed=11)
+    N = space.num_vertices
+    scale = 10.0 ** np.linspace(-2, 2, N)
+    blocks4 = np.asarray(ell.blocks4()) * scale[:, None, None, None]
+    ell = BlockELL.from_blocks(ell.adj, jnp.asarray(blocks4), ell.diag_slot)
+
+    rng = np.random.default_rng(13)
+    rhs = jnp.asarray(rng.standard_normal((N, f)))
+    plan = SlabPlan.build(np.asarray(space.adj),
+                          np.asarray(space.points)[:, -1], f,
+                          np.asarray(space.diag_slot))
+    prep = slab_prepare(ell, plan)
+    res = jax.jit(
+        lambda p, r: slab_apply_f32(p, r, plan, tol=1e-5))(prep, rhs)
+    assert res.x.dtype == rhs.dtype  # cast back to the caller's dtype
+
+    x_ref = np.linalg.solve(np.asarray(ell.to_dense()),
+                            np.asarray(rhs).reshape(-1)).reshape(N, f)
+    err = (np.linalg.norm(np.asarray(res.x) - x_ref)
+           / np.linalg.norm(x_ref))
+    assert err < 1e-3, err
+
+
 def test_newton_step_slab_vs_bicgstab():
     """One implicit 3D GMPNP step with kind='slab_direct' matches the
     round-1 BiCGStab path to Krylov-tolerance accuracy."""

@@ -94,6 +94,7 @@ def test_linear_config_validation():
     for bad in (dict(kind="nope"), dict(refresh="Step"),
                 dict(matvec="Pallas"), dict(precond="ilu"),
                 dict(jac_dtype="f16"), dict(solve_dtype="f16"),
+                dict(chord_dtype="bf16"),
                 dict(matvec="pallas")):   # pallas requires solve_dtype=f32
         with pytest.raises(ValueError):
             _validate_linear_config(LinearConfig(**bad))
