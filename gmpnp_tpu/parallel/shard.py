@@ -39,7 +39,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from gmpnp_tpu.fem.assembly import _segment_reduce, _sorted_segment_tables
 from gmpnp_tpu.fem.elements import physical_gradients, simplex_quadrature
 from gmpnp_tpu.fem.forms import WeakForm
-from gmpnp_tpu.solve.slab import slab_factor, slab_solve
+from gmpnp_tpu.solve.slab import SlabFactors, slab_factor, slab_solve
 from gmpnp_tpu.solve.smallblock import block_inv
 from gmpnp_tpu.mesh.core import (
     Mesh as FemMesh,
@@ -379,6 +379,8 @@ def make_sharded_step(
     axis_name: str = "z",
     linear: str = "slab_direct",
     refresh: str = "iter",
+    chord_max_iter: int = 16,
+    refresh_iters: int = 8,
     bc_lifts: Optional[Sequence[Tuple[np.ndarray, str]]] = None,
     jit: bool = True,
 ):
@@ -404,6 +406,18 @@ def make_sharded_step(
     distributed analogue of LinearConfig.refresh='step', skipping the
     dominant assembly+factorization work on every iteration after the
     first (tests/test_parallel.py::test_sharded_step_refresh_matches_iter).
+    'carried' extends 'step' ACROSS time steps (the distributed
+    LinearConfig.refresh='carried'): the local Jacobian blocks + SPIKE
+    factorization ride the transient scan carry, the chord attempt gets
+    ``chord_max_iter`` iterations, non-convergence falls back to exact
+    Newton from the safe previous state (re-factoring the carry), and a
+    converged-but-slow step (> ``refresh_iters`` iterations) refreshes
+    proactively.  With refresh='carried' the return is a 4-TUPLE
+    ``(step, prep_init, dev_mesh, u_sharding)`` with the stateful
+    protocol ``step(u_start, u_prev, theta, carry) -> (u_new, stats,
+    carry_new)`` and ``prep_init(u0, u0, theta) -> carry`` (the carry is
+    opaque; make_sharded_transient threads it and adds the decay-aware
+    start predictor).  Requires linear='slab_direct'.
 
     bc_lifts: optional static (N_pad, f) one-hot masks paired with theta
     keys; per step the Dirichlet VALUES become
@@ -416,15 +430,21 @@ def make_sharded_step(
     if linear not in ("slab_direct", "bicgstab_jacobi"):
         raise ValueError(f"unknown sharded linear solver {linear!r}; "
                          f"'slab_direct' or 'bicgstab_jacobi'")
-    if refresh not in ("iter", "step"):
+    if refresh not in ("iter", "step", "carried"):
         # 'step' freezes the Jacobian + SPIKE factorization at the step's
         # start iterate (modified/chord Newton) — one assembly and one
         # distributed factorization per time step instead of per Newton
-        # iteration.  The carried (cross-step) policy of the single-chip
-        # path is not offered here: its lazy-refresh lax.cond would nest
-        # a second factorization branch inside the SPMD while_loop.
-        raise ValueError(f"refresh must be 'iter' or 'step', got "
-                         f"{refresh!r}")
+        # iteration.  'carried' extends 'step' ACROSS steps: the local
+        # Jacobian blocks + SPIKE factorization ride the transient scan
+        # carry and refresh lazily (the distributed analogue of
+        # LinearConfig.refresh='carried'); requires linear='slab_direct'
+        # and the stateful step protocol (make_sharded_step returns a
+        # 4-tuple with a prep_init, see below).
+        raise ValueError(f"refresh must be 'iter', 'step' or 'carried', "
+                         f"got {refresh!r}")
+    if refresh == "carried" and linear != "slab_direct":
+        raise ValueError("refresh='carried' requires linear='slab_direct' "
+                         "(the carried state is the SPIKE factorization)")
     n_dev, N_p, H, nf = plan.n_dev, plan.N_p, plan.H, plan.n_fields
     if linear == "slab_direct":
         active_markers = sorted(
@@ -582,17 +602,20 @@ def make_sharded_step(
         D = jnp.where(ident_rows[:, :, None] & (eye[None] == 0), 0.0, D)
         return block_inv(D)
 
-    def make_local_spike_precond(J_e, J_f, Dinv_blocks, ident_rows,
-                                 order_t, start_t, end_t, cover_t):
-        """Distributed SPIKE direct solve of the full Newton system (see
-        SlabPrecondPlan): per-device f32 block-Thomas factorization of
-        the owned band (elements + facets, sorted-segment reduction, no
-        scatter), seam blocks exchanged one ppermute right, spikes by the
-        factored local solve with h RHS columns, and a replicated
-        reduced block-tridiagonal seam system built from one all_gather
-        of the spike tips.  Used as the sharded GMRES preconditioner —
-        exact up to f32 rounding, so iterations stay O(10) regardless of
-        device count."""
+    def build_spike_prep(J_e, J_f, Dinv_blocks, ident_rows,
+                         order_t, start_t, end_t, cover_t):
+        """Distributed SPIKE direct factorization of the full Newton
+        system (see SlabPrecondPlan): per-device f32 block-Thomas
+        factorization of the owned band (elements + facets, sorted-
+        segment reduction, no scatter), seam blocks exchanged one
+        ppermute right, spikes by the factored local solve with h RHS
+        columns, and a replicated reduced block-tridiagonal seam system
+        built from one all_gather of the spike tips.  Returns the
+        reusable prep tuple consumed by ``spike_apply`` — exact up to
+        f32 rounding, so sharded GMRES iterations stay O(10) regardless
+        of device count.  Splitting prep from apply lets refresh='step'
+        /'carried' factor once per step / per refresh and reuse it
+        (the distributed analogue of solve.slab.slab_prepare)."""
         S, m_v, m, h, pad = pp.S, pp.m_v, pp.m, pp.h, pp.pad
         f = nf
         f32 = jnp.float32
@@ -690,31 +713,60 @@ def make_sharded_step(
             Ured = jnp.zeros((nseam, 2 * h, 2 * h), f32).at[
                 :, h:, h:].set(V1g[1:])
             red_factors = slab_factor(Lred, Dred, Ured)
+        else:
+            red_factors = None
+
+        return (Dinv_blocks, factors, V, W, red_factors)
+
+    def spike_apply(prep, rr):
+        """One distributed SPIKE direct solve with a prepared
+        factorization (see build_spike_prep)."""
+        Dinv_blocks, factors, V, W, red_factors = prep
+        S, m_v, m, h, pad = pp.S, pp.m_v, pp.m, pp.h, pp.pad
+        f = nf
+        f32 = jnp.float32
+        wlo = (m_v - pad - pp.h_v) * f
+
+        b = jnp.einsum("nfg,ng->nf", Dinv_blocks, rr)
+        if pad:
+            b = jnp.concatenate(
+                [b, jnp.zeros((pad, f), b.dtype)], axis=0)
+        g = slab_solve(factors, b.reshape(S, m).astype(f32))
+        if n_dev > 1:
             idx = jax.lax.axis_index(axis_name)
+            gtips = jax.lax.all_gather(
+                jnp.stack([g[S - 1, wlo:wlo + h], g[0, :h]]),
+                axis_name)                           # (n_dev, 2, h)
+            rhs_red = jnp.concatenate(
+                [gtips[:-1, 0], gtips[1:, 1]], axis=-1)
+            U = slab_solve(red_factors, rhs_red)     # (nseam, 2h)
+            y_prev = jnp.where(
+                idx > 0, U[jnp.maximum(idx - 1, 0), :h], 0.0)
+            z_next = jnp.where(
+                idx < n_dev - 1,
+                U[jnp.minimum(idx, n_dev - 2), h:], 0.0)
+            g = (g - jnp.einsum("smh,h->sm", W, y_prev)
+                 - jnp.einsum("smh,h->sm", V, z_next))
+        return g.reshape(S * m_v, f)[:N_p].astype(rr.dtype)
 
-        def apply(rr):
-            b = jnp.einsum("nfg,ng->nf", Dinv_blocks, rr)
-            if pad:
-                b = jnp.concatenate(
-                    [b, jnp.zeros((pad, f), b.dtype)], axis=0)
-            g = slab_solve(factors, b.reshape(S, m).astype(f32))
-            if n_dev > 1:
-                gtips = jax.lax.all_gather(
-                    jnp.stack([g[S - 1, wlo:wlo + h], g[0, :h]]),
-                    axis_name)                           # (n_dev, 2, h)
-                rhs_red = jnp.concatenate(
-                    [gtips[:-1, 0], gtips[1:, 1]], axis=-1)
-                U = slab_solve(red_factors, rhs_red)     # (nseam, 2h)
-                y_prev = jnp.where(
-                    idx > 0, U[jnp.maximum(idx - 1, 0), :h], 0.0)
-                z_next = jnp.where(
-                    idx < n_dev - 1,
-                    U[jnp.minimum(idx, n_dev - 2), h:], 0.0)
-                g = (g - jnp.einsum("smh,h->sm", W, y_prev)
-                     - jnp.einsum("smh,h->sm", V, z_next))
-            return g.reshape(S * m_v, f)[:N_p].astype(rr.dtype)
+    def carry_split(J_e, J_f, prep):
+        """Flatten the carried chord state (local Jacobian blocks + SPIKE
+        factorization) into (per-device leaves, replicated leaves) — the
+        replicated part is the reduced seam factorization, identical on
+        every device after the all_gather in build_spike_prep."""
+        Dinv_b, factors, V, W, red = prep
+        dev = ((J_e,) + tuple(J_f[m] for m in active_markers)
+               + (Dinv_b, factors.Dinv, factors.Cp, factors.Al, V, W))
+        rep = () if red is None else tuple(red)
+        return dev, rep
 
-        return apply
+    def carry_join(dev, rep):
+        J_e = dev[0]
+        nfm = len(active_markers)
+        J_f = {m: dev[1 + i] for i, m in enumerate(active_markers)}
+        Dinv_b, fD, fC, fA, V, W = dev[1 + nfm:]
+        red = SlabFactors(*rep) if rep else None
+        return J_e, J_f, (Dinv_b, SlabFactors(fD, fC, fA), V, W, red)
 
     def bicgstab_sharded(matvec, Minv_apply, b):
         # guards sized for TPU-emulated f64 (f32 exponent range): 1e-300
@@ -894,6 +946,10 @@ def make_sharded_step(
             oh = next(it)
             bc_vals = jax.lax.optimization_barrier(
                 bc_vals * (1.0 - oh) + theta[key] * oh)
+        if refresh == "carried":
+            # carried chord state: appended as two pytree args (per-
+            # device leaves, replicated seam factorization)
+            carry_dev, carry_rep = next(it), next(it)
 
         ident_rows = bc_mask | (~valid)[:, None]
 
@@ -906,15 +962,36 @@ def make_sharded_step(
             return jnp.where(valid[:, None], r, 0.0)
 
         u0 = jnp.where(bc_mask, bc_vals, u_loc)
-        r0 = residual(u0)
-        n0 = pnorm(r0)
 
-        def converged(rn):
-            return (rn < newton_atol) | (rn < newton_rtol * n0)
+        def run_newton(u_init, solve_of=None, solve_fixed=None,
+                       max_iter=newton_max_iter):
+            """Damped Newton from ``u_init`` with DOLFIN-parity
+            acceptance against u_init's own entry residual
+            (rn < atol OR rn < rtol * n0)."""
+            r0l = residual(u_init)
+            n0l = pnorm(r0l)
 
-        def cond(st):
-            u, r, rn, it, lin = st
-            return (~converged(rn)) & (it < newton_max_iter)
+            def convl(rn):
+                return (rn < newton_atol) | (rn < newton_rtol * n0l)
+
+            def condl(st):
+                u, r, rn, itn, lin = st
+                return (~convl(rn)) & (itn < max_iter)
+
+            def bodyl(st):
+                u, r, rn, itn, lin = st
+                solve = (solve_fixed if solve_fixed is not None
+                         else solve_of(u))
+                du, klin = solve(r)
+                u = u - relaxation * du
+                r = residual(u)
+                return (u, r, pnorm(r), itn + 1, lin + klin)
+
+            u, r, rn, itn, lin = jax.lax.while_loop(
+                condl, bodyl,
+                (u_init, r0l, n0l, jnp.array(0, jnp.int32),
+                 jnp.array(0, jnp.int32)))
+            return u, rn, itn, lin, convl(rn)
 
         def linear_solve_at(u):
             """Assemble the local Jacobian at ``u`` and return the sharded
@@ -926,36 +1003,80 @@ def make_sharded_step(
             mv = make_matvec(J_e, J_f, cells, facets, ident_rows)
             Minv = diag_blocks_reduced(J_e, J_f, cells, facets, ident_rows)
             if pp is not None:
-                Minv_apply = make_local_spike_precond(
+                prep = build_spike_prep(
                     J_e, J_f, Minv, ident_rows, order_t, start_t, end_t,
                     cover_t)
                 # f64 GMRES over the f32 SPIKE direct apply — BiCGStab
                 # breaks down under an f32-quality preconditioner on
                 # these Jacobians (see gmres_sharded docstring)
-                return lambda rr: gmres_sharded(mv, Minv_apply, rr)
+                return lambda rr: gmres_sharded(
+                    mv, lambda r2: spike_apply(prep, r2), rr)
             Minv_apply = lambda rr: jnp.einsum("nfg,ng->nf", Minv, rr)
             return lambda rr: bicgstab_sharded(mv, Minv_apply, rr)
 
-        # refresh='step': one Jacobian assembly + SPIKE factorization at
-        # the step's start iterate, reused by every Newton iteration
-        # (modified/chord Newton — the distributed analogue of
-        # LinearConfig.refresh='step'; convergence is still certified on
-        # the true residual).  XLA hoists the frozen factors out of the
-        # while_loop as loop constants.
-        solve0 = linear_solve_at(u0) if refresh == "step" else None
+        if refresh != "carried":
+            # refresh='step': one Jacobian assembly + SPIKE factorization
+            # at the step's start iterate, reused by every Newton
+            # iteration (modified/chord Newton — the distributed analogue
+            # of LinearConfig.refresh='step'; convergence is still
+            # certified on the true residual).  XLA hoists the frozen
+            # factors out of the while_loop as loop constants.
+            if refresh == "step":
+                u, rn, iters, lin, conv = run_newton(
+                    u0, solve_fixed=linear_solve_at(u0))
+            else:
+                u, rn, iters, lin, conv = run_newton(
+                    u0, solve_of=linear_solve_at)
+            return u, (iters, conv, rn, lin)
 
-        def body(st):
-            u, r, rn, it, lin = st
-            solve = solve0 if refresh == "step" else linear_solve_at(u)
-            du, klin = solve(r)
-            u = u - relaxation * du
-            r = residual(u)
-            return (u, r, pnorm(r), it + 1, lin + klin)
+        # ---- refresh='carried': the distributed carried-factor chord
+        # Newton (solve.timeloop.make_carried_step semantics).  The chord
+        # attempt runs against the CARRIED Jacobian + SPIKE factorization
+        # (u_loc may be a predictor-extrapolated start — the transient
+        # passes it; u0 projects it onto the Dirichlet values); on non-
+        # convergence the step re-solves with exact Newton from the SAFE
+        # previous state and refreshes the carry at the accepted state.
+        # Both lax.cond predicates are psum-reduced norms — replicated,
+        # so every device takes the same branch and the collectives
+        # inside the branches stay coherent.
+        J_e_c, J_f_c, prep_c = carry_join(carry_dev, carry_rep)
+        mv_c = make_matvec(J_e_c, J_f_c, cells, facets, ident_rows)
+        u1, rn1, it1, lin1, conv1 = run_newton(
+            u0,
+            solve_fixed=lambda rr: gmres_sharded(
+                mv_c, lambda r2: spike_apply(prep_c, r2), rr),
+            max_iter=min(chord_max_iter, newton_max_iter))
 
-        u, r, rn, iters, lin = jax.lax.while_loop(
-            cond, body,
-            (u0, r0, n0, jnp.array(0, jnp.int32), jnp.array(0, jnp.int32)))
-        return u, (iters, converged(rn), rn, lin)
+        u0_safe = jnp.where(bc_mask, bc_vals, up_loc)
+
+        def build_carry_at(u):
+            u_ext = halo_gather(u)
+            up_ext = halo_gather(up_loc)
+            J_e2, J_f2 = local_jacobian(u_ext, up_ext, theta, cells,
+                                        vols, gradN, facets)
+            Dinv2 = diag_blocks_reduced(J_e2, J_f2, cells, facets,
+                                        ident_rows)
+            prep2 = build_spike_prep(J_e2, J_f2, Dinv2, ident_rows,
+                                     order_t, start_t, end_t, cover_t)
+            return carry_split(J_e2, J_f2, prep2)
+
+        def fresh(_):
+            u2, rn2, it2, lin2, conv2 = run_newton(
+                u0_safe, solve_of=linear_solve_at)
+            return (u2, rn2, it2, lin2, conv2, build_carry_at(u2))
+
+        def keep(_):
+            return (u1, rn1, it1, lin1, conv1, (carry_dev, carry_rep))
+
+        u, rn, iters, lin, conv, carry_used = jax.lax.cond(
+            ~conv1, fresh, keep, None)
+
+        # proactive refresh for the NEXT step when the stale factor made
+        # this (converged) step slow; the fresh branch already refreshed
+        slow = conv1 & (it1 > refresh_iters)
+        carry_new = jax.lax.cond(
+            slow, lambda _: build_carry_at(u), lambda _: carry_used, None)
+        return u, (iters, conv, rn, lin), carry_new
 
     import inspect
     try:
@@ -984,15 +1105,62 @@ def make_sharded_step(
         rest_flat.append(oh.reshape(n_dev, N_p, nf))
         rest_specs.append(P(axis_name))
 
-    sharded = shard_map(
-        step_local,
-        mesh=dev_mesh,
-        in_specs=(P(axis_name), P(axis_name), P(), P(axis_name),
-                  P(axis_name), P(axis_name), P(axis_name), P(axis_name),
-                  P(axis_name), *rest_specs),
-        out_specs=(P(axis_name), (P(), P(), P(), P())),
-        **_smkw,
-    )
+    base_in_specs = (P(axis_name), P(axis_name), P(), P(axis_name),
+                     P(axis_name), P(axis_name), P(axis_name),
+                     P(axis_name), P(axis_name), *rest_specs)
+    if refresh == "carried":
+        # carry: (per-device leaves, replicated seam factorization)
+        sharded = shard_map(
+            step_local,
+            mesh=dev_mesh,
+            in_specs=base_in_specs + (P(axis_name), P()),
+            out_specs=(P(axis_name), (P(), P(), P(), P()),
+                       (P(axis_name), P())),
+            **_smkw,
+        )
+
+        def prep_local(u_loc, up_loc, theta, cells, vols, gradN, bc_mask,
+                       bc_vals, valid, *rest):
+            """Assemble + factor the chord state at the (projected)
+            start state — the distributed prep_init."""
+            facets = {}
+            it = iter(rest)
+            for m, (_, _, fshape, fw) in sorted(plan.facets.items()):
+                fn = next(it)
+                fm = next(it)
+                facets[m] = (fn, fm, fshape, fw)
+            (order_t, start_t, end_t, cover_t) = (
+                next(it), next(it), next(it), next(it))
+            for key in lift_keys:
+                oh = next(it)
+                bc_vals = jax.lax.optimization_barrier(
+                    bc_vals * (1.0 - oh) + theta[key] * oh)
+            ident_rows = bc_mask | (~valid)[:, None]
+            u0 = jnp.where(bc_mask, bc_vals, u_loc)
+            u_ext = halo_gather(u0)
+            up_ext = halo_gather(up_loc)
+            J_e, J_f = local_jacobian(u_ext, up_ext, theta, cells, vols,
+                                      gradN, facets)
+            Dinv = diag_blocks_reduced(J_e, J_f, cells, facets, ident_rows)
+            prep = build_spike_prep(J_e, J_f, Dinv, ident_rows,
+                                    order_t, start_t, end_t, cover_t)
+            return carry_split(J_e, J_f, prep)
+
+        prep_sharded = shard_map(
+            prep_local,
+            mesh=dev_mesh,
+            in_specs=base_in_specs,
+            out_specs=(P(axis_name), P()),
+            **_smkw,
+        )
+    else:
+        sharded = shard_map(
+            step_local,
+            mesh=dev_mesh,
+            in_specs=base_in_specs,
+            out_specs=(P(axis_name), (P(), P(), P(), P())),
+            **_smkw,
+        )
 
     cells_flat = np.asarray(plan.cells_l).reshape(n_dev * plan.cells_l.shape[1], -1)
     vols_flat = np.asarray(plan.vols).reshape(-1)
@@ -1002,6 +1170,23 @@ def make_sharded_step(
     bc_vals_flat = np.asarray(plan.bc_vals).reshape(n_dev * N_p, nf)
     valid_flat = np.asarray(plan.valid).reshape(n_dev * N_p)
     rest_flat = [a.reshape((-1,) + tuple(a.shape[2:])) for a in rest_flat]
+
+    if refresh == "carried":
+        def step(u_shard, up_shard, theta, carry):
+            return sharded(u_shard, up_shard, theta, cells_flat,
+                           vols_flat, gradN_flat, bc_mask_flat,
+                           bc_vals_flat, valid_flat, *rest_flat,
+                           carry[0], carry[1])
+
+        def prep_init(u_shard, up_shard, theta):
+            return prep_sharded(u_shard, up_shard, theta, cells_flat,
+                                vols_flat, gradN_flat, bc_mask_flat,
+                                bc_vals_flat, valid_flat, *rest_flat)
+
+        if jit:
+            step = jax.jit(step)
+            prep_init = jax.jit(prep_init)
+        return step, prep_init, dev_mesh, u_sharding
 
     def step(u_shard, up_shard, theta):
         return sharded(u_shard, up_shard, theta, cells_flat, vols_flat,
@@ -1035,12 +1220,66 @@ def make_sharded_transient(
     Returns (run, dev_mesh, u_sharding) with
     ``run(u0_sharded) -> ((u_final, extra), stats_stacked)``.
     """
-    step_raw, dev_mesh, u_sharding = make_sharded_step(
-        plan, form, mesh_devices, jit=False, **step_kwargs)
+    refresh = step_kwargs.get("refresh", "iter")
+    chord_predict = step_kwargs.pop("chord_predict", True)
 
     if theta_of_carry is None:
         _theta = dict(theta or {})
         theta_of_carry = lambda carry, i: _theta
+
+    if refresh == "carried":
+        # distributed carried-factor chord Newton: the local Jacobian
+        # blocks + SPIKE factorization ride the scan carry (refreshed
+        # lazily inside the step), and the decay-aware predictor of
+        # solve.timeloop.make_carried_step runs at the jit level — the
+        # extrapolated start is plain sharded arithmetic, XLA inserts
+        # the psum for the norm.
+        step_raw, prep_init, dev_mesh, u_sharding = make_sharded_step(
+            plan, form, mesh_devices, jit=False, **step_kwargs)
+
+        def _dt_of(th):
+            if isinstance(th, dict) and "dt" in th:
+                return jnp.asarray(th["dt"], jnp.float64)
+            return jnp.asarray(1.0, jnp.float64)
+
+        def run(u0_shard):
+            th0 = theta_of_carry((u0_shard, jnp.asarray(0.0)),
+                                 jnp.asarray(0))
+            chord0 = prep_init(u0_shard, u0_shard, th0)
+            zero = jnp.asarray(0.0, jnp.float64)
+
+            def body(c, i):
+                u, extra, chord, du, dt_prev, nrm_prev = c
+                th = theta_of_carry((u, extra), i)
+                nrm_du = jnp.linalg.norm(du)
+                if chord_predict:
+                    # rho = observed increment decay (see timeloop.
+                    # ChordCarry: raw extrapolation overshoots settling
+                    # transients); du = 0 at init predicts u itself
+                    rho = jnp.where(
+                        nrm_prev > 0,
+                        nrm_du / jnp.maximum(nrm_prev, 1e-300), 0.0)
+                    ratio = jnp.where(dt_prev > 0,
+                                      _dt_of(th) / dt_prev, 0.0)
+                    factor = jnp.clip(rho * ratio, 0.0, 1.5)
+                    u_start = u + factor * du
+                else:
+                    u_start = u
+                u_new, stats, chord = step_raw(u_start, u, th, chord)
+                return ((u_new, extra, chord, u_new - u, _dt_of(th),
+                         nrm_du), stats)
+
+            (u_fin, extra, _, _, _, _), stats = jax.lax.scan(
+                body,
+                (u0_shard, jnp.asarray(0.0), chord0,
+                 jnp.zeros_like(u0_shard), zero, zero),
+                jnp.arange(n_steps))
+            return (u_fin, extra), stats
+
+        return jax.jit(run), dev_mesh, u_sharding
+
+    step_raw, dev_mesh, u_sharding = make_sharded_step(
+        plan, form, mesh_devices, jit=False, **step_kwargs)
 
     def run(u0_shard):
         def body(carry, i):

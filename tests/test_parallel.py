@@ -346,3 +346,34 @@ def test_sharded_step_refresh_matches_iter():
     assert err < 1e-7, err
     # chord may take a few more (cheap) iterations, never fewer
     assert it_b >= it_a
+
+
+def test_sharded_carried_transient_matches_iter():
+    """refresh='carried' (the distributed carried-factor chord Newton:
+    local Jacobian blocks + SPIKE factorization riding the transient
+    scan carry, decay-aware start predictor at the jit level) converges
+    to the per-iterate-refresh transient's states at tight tolerances —
+    the knobs change directions and start iterates, never the accepted
+    solutions."""
+    devices = jax.devices()
+    if len(devices) < 4:
+        pytest.skip("needs virtual device mesh")
+    n_dev = 4
+    cfg = pore_3d.Pore3DConfig(
+        physics="GMPNP", mesh_resolution=(2, 16),
+        newton=NewtonConfig(max_iter=50, rtol=1e-10, atol=1e-10,
+                            relaxation=0.9))
+    prog = pore_3d.build(cfg)
+
+    results = {}
+    for refresh in ("iter", "carried"):
+        run, u0, plan = make_sharded_pore_transient(
+            prog, devices[:n_dev], n_steps=3,
+            krylov_tol=1e-10, krylov_maxiter=4000, refresh=refresh)
+        (u_fin, _), (iters, conv, rn, lin) = run(u0)
+        assert bool(np.asarray(conv).all()), (refresh, np.asarray(rn))
+        results[refresh] = np.asarray(u_fin)
+
+    a, b = results["iter"], results["carried"]
+    err = np.linalg.norm(a - b) / np.linalg.norm(a)
+    assert err < 1e-7, err
