@@ -52,6 +52,13 @@ def add_common_pore_args(p):
                         "(default), g > 0 = accept while the residual grows "
                         "by < g (non-monotone; the production sweep rule, "
                         "solve.newton.newton_solve)")
+    p.add_argument("--shard", type=int, default=None, metavar="K",
+                   help="run z-slab-sharded over the first K jax devices "
+                        "(shard_map domain decomposition + distributed "
+                        "SPIKE solve — the multi-chip production path; "
+                        "replaces the reference's mpirun/PETSc layer). "
+                        "Identical outputs; checkpointing/dt-retries "
+                        "stay single-device features")
     p.add_argument("--linear_refresh", type=str, default=None,
                    choices=("iter", "step", "carried"),
                    help="slab-factorization refresh policy: 'iter' = exact "
@@ -122,7 +129,8 @@ def main(argv=None):
     res = pore_3d.run(cfg, out_root=args.out_root, n_steps=args.n_steps,
                       record_stride=args.record_stride,
                       checkpoint_dir=args.checkpoint_dir,
-                      checkpoint_every=args.checkpoint_every)
+                      checkpoint_every=args.checkpoint_every,
+                      shard=args.shard)
     print(res["run_dir"])
     return res
 

@@ -21,7 +21,8 @@ def main(argv=None):
     res = pore_3d.run(cfg, out_root=args.out_root, n_steps=args.n_steps,
                       record_stride=args.record_stride,
                       checkpoint_dir=args.checkpoint_dir,
-                      checkpoint_every=args.checkpoint_every)
+                      checkpoint_every=args.checkpoint_every,
+                      shard=args.shard)
     print(res["run_dir"])
     return res
 

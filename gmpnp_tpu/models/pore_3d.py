@@ -479,25 +479,81 @@ def scale_conc_time(C, grad_c, bulk, tau, D_eff, L):
     return c, t, grad_scaled
 
 
+def _run_sharded(prog: Pore3DProgram, cfg: Pore3DConfig, shard: int,
+                 n_steps: Optional[int], record_stride: int):
+    """Sharded-transient analogue of Pore3DProgram.run: same
+    (u0, u_hist, stats, u_final) contract, computed over a ``shard``-
+    device z-slab mesh (parallel.shard)."""
+    import jax
+
+    from gmpnp_tpu.parallel.shard import make_sharded_pore_transient
+    from gmpnp_tpu.solve.timeloop import StepStats
+
+    devices = jax.devices()
+    if len(devices) < shard:
+        raise ValueError(
+            f"shard={shard} needs {shard} jax devices, have "
+            f"{len(devices)} ({devices[0].platform}); on a single-chip "
+            f"host provision a virtual CPU mesh via "
+            f"--xla_force_host_platform_device_count (tests/conftest.py)")
+    n = prog.num_steps if n_steps is None else n_steps
+    run_s, u0_sharded, _plan = make_sharded_pore_transient(
+        prog, devices[:shard], n_steps=n,
+        refresh=cfg.linear.refresh, record_stride=record_stride)
+    (u_final, _), (u_hist, st) = run_s(u0_sharded)
+    iters, converged, resnorm, lin_iters = st
+    stats = StepStats(newton_iters=iters, converged=converged,
+                      residual_norm=resnorm, linear_iters=lin_iters,
+                      dt_scale=jnp.ones_like(resnorm))
+    nf = cfg.n_fields
+    ns = len(cfg.species)
+    u0 = jnp.ones((prog.space.num_vertices, nf))
+    if cfg.physics == "GMPNP":
+        u0 = u0.at[:, ns].set(0.0)
+    return u0, u_hist, stats, u_final
+
+
 def run(cfg: Pore3DConfig, out_root: Optional[str] = None,
         write: bool = True, n_steps: Optional[int] = None,
         write_vtk: bool = True, verbose: bool = False,
         record_stride: Optional[int] = None,
         checkpoint_dir: Optional[str] = None,
-        checkpoint_every: int = 100):
+        checkpoint_every: int = 100,
+        shard: Optional[int] = None):
     """Full reference-parity run (npz/metadata/VTK key sets per
     3D/MPNP_CO2ER_pore.py:862-1085 and 3D/rxn_diff_CO2ER_pore.py:602-784).
 
     record_stride=None (default) bounds the recorded history to ~1000
     snapshots for long runs (base.auto_record_stride); pass 1 for the
-    reference's record-every-step behavior."""
+    reference's record-every-step behavior.
+
+    shard=K runs the transient z-slab-sharded over the first K jax
+    devices (parallel.shard.make_sharded_pore_transient: shard_map
+    domain decomposition, ppermute halo exchange, distributed SPIKE
+    direct solve, cfg.linear.refresh honored including 'carried') —
+    the multi-chip production path, with identical output artifacts.
+    The reference gets its multi-process parallelism from mpirun over
+    PETSc/MUMPS-MPI (environment.yml:73-78); here one process drives
+    the whole device mesh.  Checkpointing and dt-cut recovery are
+    single-device-path features (pass shard=None for those)."""
     prog = build(cfg)
     if record_stride is None:
         record_stride = base.auto_record_stride(
             n_steps if n_steps is not None else prog.num_steps)
-    u0, u_hist, stats, u_final = prog.run(
-        n_steps=n_steps, record_stride=record_stride,
-        checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every)
+    if shard is not None:
+        if checkpoint_dir is not None:
+            raise ValueError("checkpointing is not supported on the "
+                             "sharded path (shard=K); the factorization "
+                             "is derived data but the sharded scan does "
+                             "not chunk — run with shard=None")
+        u0, u_hist, stats, u_final = _run_sharded(
+            prog, cfg, shard, n_steps=n_steps,
+            record_stride=record_stride)
+    else:
+        u0, u_hist, stats, u_final = prog.run(
+            n_steps=n_steps, record_stride=record_stride,
+            checkpoint_dir=checkpoint_dir,
+            checkpoint_every=checkpoint_every)
     if verbose and stats is not None:
         from gmpnp_tpu.utils import StepLogger
         StepLogger(every=max(1, u_hist.shape[0] // 50)).log_run(

@@ -1205,6 +1205,7 @@ def make_sharded_transient(
     n_steps: int,
     theta_of_carry: Optional[Callable] = None,
     theta: Optional[dict] = None,
+    record_stride: Optional[int] = None,
     **step_kwargs,
 ):
     """Multi-step sharded transient: ``lax.scan`` of the sharded implicit
@@ -1219,9 +1220,48 @@ def make_sharded_transient(
 
     Returns (run, dev_mesh, u_sharding) with
     ``run(u0_sharded) -> ((u_final, extra), stats_stacked)``.
+
+    ``record_stride=k`` additionally records the (sharded, plan-order)
+    solution every k-th step — the distributed form of run_transient's
+    bounded-history recording (nested scan: the device history buffer is
+    n_steps/k rows, never n_steps; requires k | n_steps).  The return
+    becomes ``((u_final, extra), (u_hist, stats_strided))`` with u_hist
+    of shape (n_steps//k, n_dev*N_p, f); like the single-device driver,
+    the stats ys are then also every k-th step's.
     """
     refresh = step_kwargs.get("refresh", "iter")
     chord_predict = step_kwargs.pop("chord_predict", True)
+    if record_stride is not None:
+        if record_stride < 1:
+            raise ValueError(f"record_stride must be >= 1, got "
+                             f"{record_stride}")
+        if n_steps % record_stride:
+            raise ValueError(f"record_stride {record_stride} must divide "
+                             f"n_steps {n_steps}")
+
+    def _scan_steps(body, carry0, u_of):
+        """scan ``body(c, i) -> (c_new, stats)`` over n_steps; with
+        record_stride, emit (u_of(c), stats) every k-th step via the
+        nested-scan bounded-history pattern (solve.timeloop.run_transient)."""
+        k = record_stride
+        if k is None:
+            return jax.lax.scan(body, carry0, jnp.arange(n_steps))
+        if k == 1:
+            def body_rec(c, i):
+                c2, st = body(c, i)
+                return c2, (u_of(c2), st)
+            return jax.lax.scan(body_rec, carry0, jnp.arange(n_steps))
+
+        def outer(c, j):
+            def inner(ci, jj):
+                c2, _ = body(ci, j * k + jj)
+                return c2, None
+
+            c2, _ = jax.lax.scan(inner, c, jnp.arange(k - 1))
+            c3, st = body(c2, j * k + (k - 1))
+            return c3, (u_of(c3), st)
+
+        return jax.lax.scan(outer, carry0, jnp.arange(n_steps // k))
 
     if theta_of_carry is None:
         _theta = dict(theta or {})
@@ -1269,12 +1309,12 @@ def make_sharded_transient(
                 return ((u_new, extra, chord, u_new - u, _dt_of(th),
                          nrm_du), stats)
 
-            (u_fin, extra, _, _, _, _), stats = jax.lax.scan(
+            (u_fin, extra, _, _, _, _), ys = _scan_steps(
                 body,
                 (u0_shard, jnp.asarray(0.0), chord0,
                  jnp.zeros_like(u0_shard), zero, zero),
-                jnp.arange(n_steps))
-            return (u_fin, extra), stats
+                u_of=lambda c: c[0])
+            return (u_fin, extra), ys
 
         return jax.jit(run), dev_mesh, u_sharding
 
@@ -1288,8 +1328,8 @@ def make_sharded_transient(
             u_new, stats = step_raw(u, u, th)
             return (u_new, extra), stats
 
-        return jax.lax.scan(body, (u0_shard, jnp.asarray(0.0)),
-                            jnp.arange(n_steps))
+        return _scan_steps(body, (u0_shard, jnp.asarray(0.0)),
+                           u_of=lambda c: c[0])
 
     return jax.jit(run), dev_mesh, u_sharding
 
@@ -1307,7 +1347,10 @@ def make_sharded_pore_transient(
     Returns (run, u0_sharded, plan) with ``run(u0) -> ((u_final, _),
     stats)``; ``u_final`` is (N, f) in the ORIGINAL mesh vertex order
     (the plan z-sorts shipped meshes internally; ``run`` globalizes the
-    final state back).
+    final state back).  With ``record_stride=k`` the stats ys become
+    ``(u_hist, stats)`` where u_hist is (n_steps//k, N, f) host-side
+    history in the original vertex order (globalized row by row after
+    the fetch — the device buffer stays in plan order).
     """
     cfg = prog.config
     nf = cfg.n_fields
@@ -1348,7 +1391,12 @@ def make_sharded_pore_transient(
     u0 = jax.device_put(jnp.asarray(plan.localize(u0)), u_sharding)
 
     def run(u0_sharded):
-        (u_fin, extra), stats = run_pad(u0_sharded)
-        return (jnp.asarray(plan.globalize(u_fin)), extra), stats
+        (u_fin, extra), ys = run_pad(u0_sharded)
+        if kwargs.get("record_stride") is not None:
+            u_hist_pad, stats = ys
+            u_hist = np.stack([plan.globalize(r)
+                               for r in np.asarray(u_hist_pad)])
+            ys = (u_hist, stats)
+        return (jnp.asarray(plan.globalize(u_fin)), extra), ys
 
     return run, u0, plan

@@ -377,3 +377,49 @@ def test_sharded_carried_transient_matches_iter():
     a, b = results["iter"], results["carried"]
     err = np.linalg.norm(a - b) / np.linalg.norm(a)
     assert err < 1e-7, err
+
+
+def test_run_sharded_full_outputs_match_single_device(tmp_path):
+    """pore_3d.run(shard=2) — the CLI-exposed multi-chip production
+    entry — produces the same artifact set (npz key sets, metadata,
+    strided history) as the single-device run and matching fields to
+    solver tolerance."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs virtual device mesh")
+    cfg = pore_3d.Pore3DConfig(
+        physics="GMPNP", mesh_resolution=(2, 8),
+        newton=NewtonConfig(max_iter=50, rtol=1e-10, atol=1e-10,
+                            relaxation=0.9))
+
+    res_s = pore_3d.run(cfg, out_root=str(tmp_path / "s"), n_steps=4,
+                        record_stride=2, shard=2)
+    res_d = pore_3d.run(cfg, out_root=str(tmp_path / "d"), n_steps=4,
+                        record_stride=2)
+
+    assert set(res_s["unscaled"]) == set(res_d["unscaled"])
+    for nm, a in res_d["unscaled"].items():
+        b = res_s["unscaled"][nm]
+        assert b.shape == a.shape, nm      # (1 + n/k, N) history rows
+        err = np.linalg.norm(a - b) / max(np.linalg.norm(a), 1e-300)
+        assert err < 1e-7, (nm, err)
+    assert bool(np.asarray(res_s["stats"].converged).all())
+    md_s, md_d = res_s["metadata"], res_d["metadata"]
+    assert set(md_s) == set(md_d)
+    np.testing.assert_allclose(md_s["CO2_min"], md_d["CO2_min"],
+                               rtol=1e-7)
+    # both artifact trees fully written
+    import glob
+    for root in ("s", "d"):
+        files = glob.glob(str(tmp_path / root / "**" / "arrays_unscaled.npz"),
+                          recursive=True)
+        assert files, root
+
+
+def test_run_sharded_refuses_checkpoint_and_too_many_devices(tmp_path):
+    cfg = pore_3d.Pore3DConfig(physics="GMPNP", mesh_resolution=(2, 8))
+    with pytest.raises(ValueError, match="checkpoint"):
+        pore_3d.run(cfg, write=False, n_steps=2, shard=2,
+                    checkpoint_dir=str(tmp_path / "ck"))
+    with pytest.raises(ValueError, match="devices"):
+        pore_3d.run(cfg, write=False, n_steps=2,
+                    shard=len(jax.devices()) + 1)
