@@ -590,10 +590,11 @@ def _transient_record(build, per_key, accel, exact_build=None):
     return rec
 
 
-def _sweep_record(build, accel, lanes):
+def _sweep_record(build, accel, lanes, cpu=True, cpu_note=None):
     """Sweep analogue of _transient_record: carried on the accelerator,
     exact-Newton on the accelerator (vs_baseline_exact) and on one CPU
-    core (the baseline)."""
+    core (the baseline).  ``cpu=False`` skips the CPU baseline entirely
+    (``cpu_note`` says why and where the comparable ratio lives)."""
     single, (u0, volts), key, N = build(lanes, "carried")
     lane_steps = lanes * N_STEPS
     t, t_std, n_newton = _timed_sweep_host(single, u0, volts, accel)
@@ -618,6 +619,9 @@ def _sweep_record(build, accel, lanes):
         rec["exact_key"] = key_b
     except Exception as e:
         rec["exact_error"] = f"{type(e).__name__}: {str(e)[:200]}"
+    if not cpu:
+        rec["cpu_skipped"] = cpu_note or "CPU baseline not measured"
+        return rec
     try:
         t_cpu = _cpu_seconds(None, (single_b, (u0_b, volts_b)), key_b,
                              timed=_timed_sweep_host)
@@ -649,7 +653,9 @@ def _child_config(config: str, accel) -> dict:
         rec["mesh_nodes"] = 5411
         rec["note"] = ("shipped L_50_R_10.xml — fattest shipped radius; "
                        "stresses the slab block size m (O(S*m^3) factor "
-                       "cost)")
+                       "cost); the CPU baseline is cached at reps=1 "
+                       "(a single exact-Newton window runs ~20-50 min "
+                       "on one core at this block size)")
         return rec
 
     if config == "pore_l100r10":
@@ -708,7 +714,13 @@ def _child_config(config: str, accel) -> dict:
         return _sweep_record(_build_pore_sweep, accel, lanes=4)
 
     if config == "sweep_r10":
-        rec = _sweep_record(_build_pore_sweep_r10, accel, lanes=4)
+        rec = _sweep_record(
+            _build_pore_sweep_r10, accel, lanes=4, cpu=False,
+            cpu_note=("exact-Newton CPU at the R=10 sweep scale runs "
+                      "~hours on one core (the R=10 cross-section grows "
+                      "the slab block m; block-Thomas is O(S*m^3)); the "
+                      "R=10 hardware-vs-CPU ratio lives in the pore_r10 "
+                      "single-config record"))
         rec["note"] = "config-5 sweep on the R=10 axis (shipped L_50_R_10)"
         return rec
 
@@ -785,23 +797,28 @@ def _measure_cpu_baselines(names):
 
     jax.config.update("jax_platforms", "cpu")
     cpu = jax.devices("cpu")[0]
+    # r10's cross-section makes an exact-Newton CPU window ~20-50 min;
+    # one rep keeps the offline measurement tractable (CPU spread is <1%
+    # everywhere it was measured with 3)
+    reps_of = {"pore_r10": 1, "sweep_r10": 1}
     for name in names:
         build, timed = builders[name]
         out = build()
+        reps = reps_of.get(name, REPS)
         if timed is _timed_run:
             run, args, key, _ = out
             if _cpu_cache().get(key) is not None:
                 print(f"{name}: cached {key}")
                 continue
-            t, _, _ = _timed_run(run, args, cpu)
+            t, _, _ = _timed_run(run, args, cpu, reps=reps)
         else:
             single, (u0, volts), key, _ = out
             if _cpu_cache().get(key) is not None:
                 print(f"{name}: cached {key}")
                 continue
-            t, _, _ = _timed_sweep_host(single, u0, volts, cpu)
+            t, _, _ = _timed_sweep_host(single, u0, volts, cpu, reps=reps)
         _cpu_store(key, t)
-        print(f"{name}: {key} = {t:.1f}s")
+        print(f"{name}: {key} = {t:.1f}s", flush=True)
 
 
 def main():

@@ -57,8 +57,8 @@ def add_common_pore_args(p):
                         "(shard_map domain decomposition + distributed "
                         "SPIKE solve — the multi-chip production path; "
                         "replaces the reference's mpirun/PETSc layer). "
-                        "Identical outputs; checkpointing/dt-retries "
-                        "stay single-device features")
+                        "Identical outputs incl. checkpoint/resume "
+                        "(--checkpoint_dir) and dt-cut recovery")
     p.add_argument("--linear_refresh", type=str, default=None,
                    choices=("iter", "step", "carried"),
                    help="slab-factorization refresh policy: 'iter' = exact "

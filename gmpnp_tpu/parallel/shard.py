@@ -382,6 +382,7 @@ def make_sharded_step(
     chord_max_iter: int = 16,
     refresh_iters: int = 8,
     bc_lifts: Optional[Sequence[Tuple[np.ndarray, str]]] = None,
+    seam: str = "replicated",
     jit: bool = True,
 ):
     """Build a sharded implicit step.
@@ -445,6 +446,17 @@ def make_sharded_step(
     if refresh == "carried" and linear != "slab_direct":
         raise ValueError("refresh='carried' requires linear='slab_direct' "
                          "(the carried state is the SPIKE factorization)")
+    if seam not in ("replicated", "ring"):
+        # 'replicated': the reduced block-tridiagonal seam system is
+        # all_gathered and factored identically on every device — O(n_dev)
+        # (2h)^2 blocks per device (~0.8 GB/device at N=3679 / 8 dev,
+        # docs/TPU_NOTES.md "SPIKE").  'ring': the seam system stays
+        # distributed one block-row per device and is solved by parallel
+        # cyclic reduction over the device ring — O(log n_dev) blocks per
+        # device, removing the n_dev^2 aggregate memory term (VERDICT r3
+        # item 9; prototype flag).
+        raise ValueError(f"seam must be 'replicated' or 'ring', got "
+                         f"{seam!r}")
     n_dev, N_p, H, nf = plan.n_dev, plan.N_p, plan.H, plan.n_fields
     if linear == "slab_direct":
         active_markers = sorted(
@@ -475,6 +487,62 @@ def make_sharded_step(
 
     def pnorm(a):
         return jnp.sqrt(pdot(a, a))
+
+    def _ring_shift(x, dist, fill):
+        """Per-device value of ``x`` at ring position idx+dist, replaced
+        by ``fill`` where idx+dist falls outside [0, n_dev) — ppermute is
+        cyclic, but the seam chain is a LINE, so wraparound neighbors
+        must act as identity/zero rows."""
+        perm = [(j, (j - dist) % n_dev) for j in range(n_dev)]
+        got = jax.lax.ppermute(x, axis_name, perm)
+        idx = jax.lax.axis_index(axis_name)
+        ok = (idx + dist >= 0) & (idx + dist < n_dev)
+        return jnp.where(ok, got, fill)
+
+    _pcr_rounds = max(1, int(np.ceil(np.log2(max(n_dev, 2)))))
+
+    def _pcr_factor(Dp, Lp, Up):
+        """Distributed parallel-cyclic-reduction factorization of the
+        seam block-tridiagonal system, one (2h,2h) block-row per device
+        (out-of-range neighbors are identity rows, so the line system
+        embeds in the ring).  Per round k (distance d=2^k) each row
+        eliminates its +-d neighbors:
+            alpha = -L @ Dinv_{i-d},  beta = -U @ Dinv_{i+d}
+            D' = D + alpha U_{i-d} + beta L_{i+d}
+            L' = alpha L_{i-d},       U' = beta U_{i+d}
+        After ceil(log2(n_dev)) rounds the system is block-diagonal.
+        Stores (alphas, betas, Dinv_final): O(log n_dev) blocks/device vs
+        the replicated factor's O(n_dev)."""
+        f32 = Dp.dtype
+        eye2 = jnp.eye(Dp.shape[0], dtype=f32)
+        alphas, betas = [], []
+        d = 1
+        for _ in range(_pcr_rounds):
+            Dinv = jnp.linalg.inv(Dp)
+            Dinv_l = _ring_shift(Dinv, -d, eye2)
+            Dinv_r = _ring_shift(Dinv, +d, eye2)
+            Ll, Ul = _ring_shift(Lp, -d, 0.0), _ring_shift(Up, -d, 0.0)
+            Lr, Ur = _ring_shift(Lp, +d, 0.0), _ring_shift(Up, +d, 0.0)
+            alpha = -(Lp @ Dinv_l)
+            beta = -(Up @ Dinv_r)
+            Dp = Dp + alpha @ Ul + beta @ Lr
+            Lp = alpha @ Ll
+            Up = beta @ Ur
+            alphas.append(alpha)
+            betas.append(beta)
+            d *= 2
+        return (jnp.stack(alphas), jnp.stack(betas), jnp.linalg.inv(Dp))
+
+    def _pcr_solve(red, b):
+        """RHS sweep of the stored PCR elimination + final diagonal solve."""
+        alphas, betas, Dinv_fin = red
+        d = 1
+        for k in range(_pcr_rounds):
+            bl = _ring_shift(b, -d, 0.0)
+            br = _ring_shift(b, +d, 0.0)
+            b = b + alphas[k] @ bl + betas[k] @ br
+            d *= 2
+        return Dinv_fin @ b
 
     Nq = jnp.asarray(plan.Nq)
     wq = jnp.asarray(plan.wq)
@@ -692,7 +760,29 @@ def make_sharded_step(
         W = slab_solve(factors,
                        jnp.zeros((S, m, h), f32).at[0].set(Cw))
 
-        if n_dev > 1:
+        if n_dev > 1 and seam == "ring":
+            # seam block-row p = [y_p ; z_{p+1}] OWNED by device p
+            # (p < n_dev-1; the last device holds an identity pad row),
+            # built with ONE ppermute from the right neighbor instead of
+            # an all_gather, then factored by distributed parallel cyclic
+            # reduction over the device ring (_pcr_factor): O(log n_dev)
+            # (2h)^2 blocks per device vs the replicated O(n_dev) — the
+            # seam-memory scaling wall removed (VERDICT r3 item 9)
+            V1, W1 = V[0, :h], W[0, :h]
+            VS, WS = V[S - 1, wlo:wlo + h], W[S - 1, wlo:wlo + h]
+            nbr = _ring_shift(jnp.stack([V1, W1]), +1, 0.0)
+            V1r, W1r = nbr[0], nbr[1]
+            idx = jax.lax.axis_index(axis_name)
+            is_seam = idx < n_dev - 1
+            eye2 = jnp.eye(2 * h, dtype=f32)
+            Dp = eye2.at[:h, h:].set(VS).at[h:, :h].set(W1r)
+            Lp = jnp.zeros((2 * h, 2 * h), f32).at[:h, :h].set(WS)
+            Up = jnp.zeros((2 * h, 2 * h), f32).at[h:, h:].set(V1r)
+            Dp = jnp.where(is_seam, Dp, eye2)
+            Lp = jnp.where(is_seam, Lp, 0.0)
+            Up = jnp.where(is_seam, Up, 0.0)
+            red_factors = _pcr_factor(Dp, Lp, Up)
+        elif n_dev > 1:
             # reduced block-tridiagonal seam system over interface pairs
             # U_p = [y_p ; z_{p+1}] (y = tail window of device p, z =
             # head window of device p+1), replicated from the spike tips
@@ -732,7 +822,23 @@ def make_sharded_step(
             b = jnp.concatenate(
                 [b, jnp.zeros((pad, f), b.dtype)], axis=0)
         g = slab_solve(factors, b.reshape(S, m).astype(f32))
-        if n_dev > 1:
+        if n_dev > 1 and seam == "ring":
+            # distributed PCR seam solve: rhs row p = [gS_p ; g1_{p+1}]
+            # assembled with one ppermute; the elimination sweep runs
+            # O(log n_dev) ppermute rounds and the final seam solution
+            # stays one row per device
+            idx = jax.lax.axis_index(axis_name)
+            is_seam = idx < n_dev - 1
+            g1r = _ring_shift(g[0, :h], +1, 0.0)
+            rhs = jnp.where(is_seam,
+                            jnp.concatenate([g[S - 1, wlo:wlo + h], g1r]),
+                            0.0)
+            Urow = _pcr_solve(red_factors, rhs)      # own [y_p ; z_{p+1}]
+            y_prev = _ring_shift(Urow, -1, 0.0)[:h]  # left seam's y part
+            z_next = jnp.where(is_seam, Urow[h:], 0.0)
+            g = (g - jnp.einsum("smh,h->sm", W, y_prev)
+                 - jnp.einsum("smh,h->sm", V, z_next))
+        elif n_dev > 1:
             idx = jax.lax.axis_index(axis_name)
             gtips = jax.lax.all_gather(
                 jnp.stack([g[S - 1, wlo:wlo + h], g[0, :h]]),
@@ -751,21 +857,34 @@ def make_sharded_step(
 
     def carry_split(J_e, J_f, prep):
         """Flatten the carried chord state (local Jacobian blocks + SPIKE
-        factorization) into (per-device leaves, replicated leaves) — the
-        replicated part is the reduced seam factorization, identical on
-        every device after the all_gather in build_spike_prep."""
+        factorization) into (per-device leaves, replicated leaves).  With
+        seam='replicated' the reduced seam factorization is identical on
+        every device after the all_gather and travels as the replicated
+        part; with seam='ring' the PCR factors are per-device rows and
+        travel with the device leaves."""
         Dinv_b, factors, V, W, red = prep
         dev = ((J_e,) + tuple(J_f[m] for m in active_markers)
                + (Dinv_b, factors.Dinv, factors.Cp, factors.Al, V, W))
-        rep = () if red is None else tuple(red)
+        if red is None:
+            rep = ()
+        elif seam == "ring":
+            dev = dev + tuple(red)
+            rep = ()
+        else:
+            rep = tuple(red)
         return dev, rep
 
     def carry_join(dev, rep):
         J_e = dev[0]
         nfm = len(active_markers)
         J_f = {m: dev[1 + i] for i, m in enumerate(active_markers)}
-        Dinv_b, fD, fC, fA, V, W = dev[1 + nfm:]
-        red = SlabFactors(*rep) if rep else None
+        tail = dev[1 + nfm:]
+        if seam == "ring" and n_dev > 1:
+            Dinv_b, fD, fC, fA, V, W, ra, rb, rdf = tail
+            red = (ra, rb, rdf)
+        else:
+            Dinv_b, fD, fC, fA, V, W = tail
+            red = SlabFactors(*rep) if rep else None
         return J_e, J_f, (Dinv_b, SlabFactors(fD, fC, fA), V, W, red)
 
     def bicgstab_sharded(matvec, Minv_apply, b):
@@ -1228,9 +1347,21 @@ def make_sharded_transient(
     becomes ``((u_final, extra), (u_hist, stats_strided))`` with u_hist
     of shape (n_steps//k, n_dev*N_p, f); like the single-device driver,
     the stats ys are then also every k-th step's.
+
+    ``max_retries=K`` (default 0) adds divergence-triggered dt halving —
+    the distributed form of timeloop.make_retrying_step (SURVEY §5: the
+    reference has no recovery; a diverged Newton kills the run).  A
+    non-converged step is retried from the SAFE previous state with
+    ``theta['dt']`` halved, up to K times; the per-step stats tuple gains
+    a fifth element ``dt_scale`` (the accepted halving factor — callers
+    tracking absolute time must accumulate dt*dt_scale).  The convergence
+    flag driving the retry loop is a psum-reduced (replicated) scalar, so
+    every device takes the same branch and the collectives inside the
+    retried step stay coherent.
     """
     refresh = step_kwargs.get("refresh", "iter")
     chord_predict = step_kwargs.pop("chord_predict", True)
+    max_retries = step_kwargs.pop("max_retries", 0)
     if record_stride is not None:
         if record_stride < 1:
             raise ValueError(f"record_stride must be >= 1, got "
@@ -1306,6 +1437,25 @@ def make_sharded_transient(
                 else:
                     u_start = u
                 u_new, stats, chord = step_raw(u_start, u, th, chord)
+                if max_retries > 0:
+                    dt0 = _dt_of(th)
+
+                    def cond(s):
+                        k, _, st, _ = s
+                        return (~st[1]) & (k < max_retries)
+
+                    def retry(s):
+                        k, _u, _st, ch = s
+                        th_k = dict(th)
+                        th_k["dt"] = dt0 * (0.5 ** (k + 1).astype(dt0.dtype))
+                        # retry from the safe previous state, no predictor
+                        u2, st2, ch2 = step_raw(u, u, th_k, ch)
+                        return (k + 1, u2, st2, ch2)
+
+                    k, u_new, stats, chord = jax.lax.while_loop(
+                        cond, retry,
+                        (jnp.asarray(0), u_new, stats, chord))
+                    stats = (*stats, 0.5 ** k.astype(dt0.dtype))
                 return ((u_new, extra, chord, u_new - u, _dt_of(th),
                          nrm_du), stats)
 
@@ -1321,11 +1471,33 @@ def make_sharded_transient(
     step_raw, dev_mesh, u_sharding = make_sharded_step(
         plan, form, mesh_devices, jit=False, **step_kwargs)
 
+    def _dt_of(th):
+        if isinstance(th, dict) and "dt" in th:
+            return jnp.asarray(th["dt"], jnp.float64)
+        return jnp.asarray(1.0, jnp.float64)
+
     def run(u0_shard):
         def body(carry, i):
             u, extra = carry
             th = theta_of_carry((u, extra), i)
             u_new, stats = step_raw(u, u, th)
+            if max_retries > 0:
+                dt0 = _dt_of(th)
+
+                def cond(s):
+                    k, _, st = s
+                    return (~st[1]) & (k < max_retries)
+
+                def retry(s):
+                    k, _u, _st = s
+                    th_k = dict(th)
+                    th_k["dt"] = dt0 * (0.5 ** (k + 1).astype(dt0.dtype))
+                    u2, st2 = step_raw(u, u, th_k)
+                    return (k + 1, u2, st2)
+
+                k, u_new, stats = jax.lax.while_loop(
+                    cond, retry, (jnp.asarray(0), u_new, stats))
+                stats = (*stats, 0.5 ** k.astype(dt0.dtype))
             return (u_new, extra), stats
 
         return _scan_steps(body, (u0_shard, jnp.asarray(0.0)),

@@ -4,18 +4,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from gmpnp_tpu.ops import block_inv_pallas, ell_block_contract_pallas
-from gmpnp_tpu.solve.smallblock import block_inv
-
-
-@pytest.mark.parametrize("N,f", [(10, 3), (300, 9), (257, 7)])
-def test_block_inv_pallas_matches(N, f):
-    rng = np.random.default_rng(N + f)
-    A = rng.normal(size=(N, f, f)) + 3 * np.eye(f)
-    got = np.asarray(block_inv_pallas(jnp.asarray(A), tile=64,
-                                      interpret=True))
-    ref = np.asarray(block_inv(jnp.asarray(A)))
-    np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-12)
+from gmpnp_tpu.ops import ell_block_contract_pallas
 
 
 @pytest.mark.parametrize("N,K,f", [(50, 4, 3), (200, 16, 9)])

@@ -211,6 +211,44 @@ def test_sharded_pore_transient_reference_scale(reference_utilities,
         1, int(np.asarray(iters).sum()))
 
 
+def test_sharded_carried_transient_midscale_matches_single_device():
+    """Mid-scale UNGATED sharded coverage (VERDICT r3 item 5): a 4-device
+    carried-SPIKE transient with the moving Sechenov CO2 lift at N=1,517
+    (the (3,40) generated cylinder — well beyond the toy halo~slab
+    meshes) matches the single-device production transient.  The
+    reference-scale N=3,679 version stays gated behind GMPNP_SLOW_TESTS
+    (test_sharded_pore_transient_reference_scale); this one runs on
+    every `pytest tests/`."""
+    devices = jax.devices()
+    if len(devices) < 4:
+        pytest.skip("needs virtual device mesh")
+    cfg = pore_3d.Pore3DConfig(
+        physics="GMPNP", mesh_resolution=(3, 40),
+        newton=NewtonConfig(max_iter=50, rtol=1e-9, atol=1e-9,
+                            relaxation=0.9))
+    prog = pore_3d.build(cfg)
+    N = prog.space.num_vertices
+    assert N == 1517
+    n_steps = 2
+
+    # single-device production path (slab_direct), tight tolerances
+    _, _, stats1, u_ref = prog.run(n_steps=n_steps)
+
+    run, u0_sh, plan = make_sharded_pore_transient(
+        prog, devices[:4], n_steps=n_steps,
+        krylov_tol=1e-10, krylov_maxiter=2000, refresh="carried")
+    (u_fin, _), (iters, conv, rn, lin) = run(u0_sh)
+    assert bool(np.asarray(conv).all()), np.asarray(rn)
+
+    u_fin = np.asarray(u_fin)[:N]
+    err = np.linalg.norm(u_fin - np.asarray(u_ref)) / np.linalg.norm(
+        np.asarray(u_ref))
+    assert err < 1e-6, err
+    # distributed SPIKE keeps the O(10)-per-Newton inner-iteration regime
+    assert int(np.asarray(lin).sum()) < 60 * max(
+        1, int(np.asarray(iters).sum()))
+
+
 def test_pore_voltage_cation_sweep():
     """BASELINE config-5 sweep API: voltage lanes vmapped per cached-compile
     cation; lanes must match independent runs."""
@@ -415,11 +453,154 @@ def test_run_sharded_full_outputs_match_single_device(tmp_path):
         assert files, root
 
 
-def test_run_sharded_refuses_checkpoint_and_too_many_devices(tmp_path):
+@pytest.mark.parametrize("n_dev", [4, 8])
+def test_sharded_step_ring_seam_matches_replicated(n_dev):
+    """seam='ring' (distributed PCR seam solve — O(log n_dev) stored
+    blocks per device, VERDICT r3 item 9) produces the same Newton step
+    as the replicated reduced factorization: both are exact seam solves
+    up to f32 rounding, so the preconditioned GMRES converges to the
+    same solution with comparable iteration counts."""
+    devices = jax.devices()
+    if len(devices) < n_dev:
+        pytest.skip("needs virtual device mesh")
+    cfg = pore_3d.Pore3DConfig(
+        physics="GMPNP", mesh_resolution=(2, 16),
+        newton=NewtonConfig(max_iter=50, rtol=1e-10, atol=1e-10,
+                            relaxation=0.9))
+    prog = pore_3d.build(cfg)
+    nf, ns = cfg.n_fields, len(cfg.species)
+    N = prog.space.num_vertices
+    theta = {"dt": jnp.asarray(prog.dt_scaled),
+             "co2_s1": jnp.asarray(
+                 prog.eq_conc["CO2"] / prog.bulk_conc["CO2"])}
+    bc = prog._bc_of_theta(theta)
+    plan = ZShardPlan.build(prog.mesh, nf, n_dev, np.asarray(bc.mask),
+                            np.asarray(bc.values),
+                            quad_degree=cfg.quad_degree)
+    u0 = jnp.ones((N, nf)).at[:, ns].set(0.0)
+    N_pad = plan.n_dev * plan.N_p
+    u0_pad = jnp.zeros((N_pad, nf)).at[:N].set(u0)
+
+    results = {}
+    for seam in ("replicated", "ring"):
+        step_sh, dev_mesh, u_shd = make_sharded_step(
+            plan, prog.form, devices[:n_dev],
+            newton_max_iter=50, newton_rtol=1e-10, newton_atol=1e-10,
+            relaxation=0.9, krylov_tol=1e-10, krylov_maxiter=4000,
+            linear="slab_direct", seam=seam)
+        u0_sh = jax.device_put(u0_pad, u_shd)
+        u_new, (iters, conv, rn, lin) = step_sh(u0_sh, u0_sh, theta)
+        assert bool(conv), seam
+        results[seam] = (np.asarray(u_new)[:N], int(iters), int(lin))
+
+    a, it_a, lin_a = results["replicated"]
+    b, it_b, lin_b = results["ring"]
+    err = np.linalg.norm(a - b) / np.linalg.norm(a)
+    assert err < 1e-7, err
+    # both seam solves are exact: same O(10)-per-Newton Krylov regime
+    assert lin_b < 60 * max(1, it_b), (lin_b, it_b)
+
+
+def test_sharded_carried_ring_seam_transient():
+    """The PCR seam factors ride the carried chord state as per-device
+    leaves (carry_split seam='ring' path): a carried transient with
+    seam='ring' matches the per-iterate-refresh transient."""
+    devices = jax.devices()
+    if len(devices) < 4:
+        pytest.skip("needs virtual device mesh")
+    cfg = pore_3d.Pore3DConfig(
+        physics="GMPNP", mesh_resolution=(2, 16),
+        newton=NewtonConfig(max_iter=50, rtol=1e-10, atol=1e-10,
+                            relaxation=0.9))
+    prog = pore_3d.build(cfg)
+
+    results = {}
+    for refresh, seam in (("iter", "replicated"), ("carried", "ring")):
+        run, u0, plan = make_sharded_pore_transient(
+            prog, devices[:4], n_steps=3,
+            krylov_tol=1e-10, krylov_maxiter=4000, refresh=refresh,
+            seam=seam)
+        (u_fin, _), (iters, conv, rn, lin) = run(u0)
+        assert bool(np.asarray(conv).all()), (refresh, seam)
+        results[refresh] = np.asarray(u_fin)
+
+    a, b = results["iter"], results["carried"]
+    err = np.linalg.norm(a - b) / np.linalg.norm(a)
+    assert err < 1e-7, err
+
+
+def test_run_sharded_refuses_too_many_devices():
     cfg = pore_3d.Pore3DConfig(physics="GMPNP", mesh_resolution=(2, 8))
-    with pytest.raises(ValueError, match="checkpoint"):
-        pore_3d.run(cfg, write=False, n_steps=2, shard=2,
-                    checkpoint_dir=str(tmp_path / "ck"))
     with pytest.raises(ValueError, match="devices"):
         pore_3d.run(cfg, write=False, n_steps=2,
                     shard=len(jax.devices()) + 1)
+
+
+def test_run_sharded_kill_and_resume(tmp_path):
+    """Sharded checkpoint/resume (VERDICT r3 item 4): a --shard 4 run
+    killed after 2 of 4 steps and resumed produces the same artifacts as
+    an uninterrupted sharded run.  Checkpoints hold the GLOBAL
+    vertex-order state (interchangeable with single-device checkpoints);
+    the SPIKE/chord factorization is derived data rebuilt at each chunk
+    start."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs virtual device mesh")
+    cfg = pore_3d.Pore3DConfig(
+        physics="GMPNP", mesh_resolution=(2, 8),
+        newton=NewtonConfig(max_iter=50, rtol=1e-10, atol=1e-10,
+                            relaxation=0.9))
+    ck = str(tmp_path / "ck")
+
+    res_full = pore_3d.run(cfg, out_root=str(tmp_path / "full"),
+                           n_steps=4, shard=4)
+    # "killed" after one 2-step chunk (checkpoint saved), resumed to 4
+    pore_3d.run(cfg, write=False, n_steps=2, shard=4,
+                checkpoint_dir=ck, checkpoint_every=2)
+    res_res = pore_3d.run(cfg, out_root=str(tmp_path / "res"),
+                          n_steps=4, shard=4,
+                          checkpoint_dir=ck, checkpoint_every=2)
+
+    for nm, a in res_full["unscaled"].items():
+        b = res_res["unscaled"][nm]
+        # final states agree to solver reproducibility (the resumed run
+        # re-factors at the chunk boundary; accepted states match within
+        # Newton tolerance)
+        np.testing.assert_allclose(b[-1], a[-1], rtol=1e-7, atol=1e-9)
+    assert bool(np.asarray(res_res["stats"].converged).all())
+
+    # resume-at-completion: exits cleanly surfacing the final state
+    res_done = pore_3d.run(cfg, out_root=str(tmp_path / "done"),
+                           n_steps=4, shard=4,
+                           checkpoint_dir=ck, checkpoint_every=2)
+    np.testing.assert_allclose(
+        res_done["unscaled"]["CO2"][-1], res_res["unscaled"]["CO2"][-1],
+        rtol=1e-12)
+
+
+def test_sharded_transient_dt_cut_recovery():
+    """max_retries on the sharded transient: a dt too large for the
+    cold start is halved per the retry rule and the transient completes
+    converged, with stats.dt_scale recording the accepted halvings —
+    the distributed form of make_retrying_step (SURVEY §5)."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs virtual device mesh")
+    import dataclasses
+
+    cfg = pore_3d.Pore3DConfig(
+        physics="GMPNP", mesh_resolution=(2, 8),
+        # V=-2.5 at 64x the reference dt: the sharded cold start fails
+        # at the full dt and converges after one halving (probed on the
+        # sharded path, round 4) — recovery must engage and carry on
+        voltage_multiplier=-2.5, time_step=64.0e-3,
+        newton=NewtonConfig(max_iter=12, rtol=1e-6, atol=1e-6,
+                            relaxation=0.9))
+    cfg = dataclasses.replace(cfg, dt_retries=4)
+    u0, u_hist, stats, u_final = pore_3d._run_sharded(
+        pore_3d.build(cfg), cfg, shard=2, n_steps=2, record_stride=1)
+    conv = np.asarray(stats.converged)
+    scale = np.asarray(stats.dt_scale)
+    assert bool(conv.all()), (conv, scale)
+    assert np.isfinite(np.asarray(u_final)).all()
+    # the cold start must actually have engaged at least one halving —
+    # otherwise this test is vacuous (tighten voltage if it ever is)
+    assert scale.min() < 1.0, scale
