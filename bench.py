@@ -66,12 +66,15 @@ CONFIGS = [
     ("pore", "pore3d", 240),
     ("rxn3d", "pore3d_rxndiff", 240),
     ("edl", "edl1d", 150),
-    ("rxn1d", "rxndiff1d", 150),
     ("stern", "stern", 15),
     ("sweep", "pore3d_sweep", 300),
     ("pore_r10", "pore3d_r10", 300),
     ("pore_l100r10", "pore3d_l100r10", 300),
     ("sweep_r10", "pore3d_sweep_r10", 350),
+    # rxn1d runs LAST: its full 500-step schedule kernel-faults the TPU
+    # worker ~20 steps in (docs/TPU_NOTES.md round 4), which forces a
+    # fresh-client relaunch — everything else records first
+    ("rxn1d", "rxndiff1d", 150),
 ]
 EXTRA_CONFIGS = [
     ("xl", "pore3d_gmpnp_xl", 500),
@@ -532,6 +535,11 @@ def _cpu_seconds(run, args, key, timed=_timed_run):
     cache = _cpu_cache()
     if cache.get(key) is not None:
         return float(cache[key])
+    if os.environ.get("GMPNP_BENCH_SKIP_UNCACHED_CPU"):
+        raise RuntimeError(
+            f"uncached CPU baseline {key!r} skipped "
+            f"(GMPNP_BENCH_SKIP_UNCACHED_CPU; run `python bench.py "
+            f"--cpu-baselines` on a quiet core)")
     if _deadline_remaining() < 900:
         raise RuntimeError(
             f"uncached CPU baseline {key!r} skipped under wall-clock "
@@ -771,8 +779,28 @@ def _child_main(names):
             rec = _child_config(name, accel)
         except Exception as e:
             rec = {"error": f"{type(e).__name__}: {str(e)[:400]}"}
+            if name == "rxn1d":
+                rec["note"] = (
+                    "known issue: the full 500-step schedule kernel-"
+                    "faults the TPU worker ~20 steps in — a Newton-"
+                    "iteration spike at steps 17-24 drives an emulated-"
+                    "f64 intermediate past the f32 exponent range "
+                    "(probes/probe_r4_c.py, docs/TPU_NOTES.md round 4); "
+                    "1- and 8-step windows run clean.  The reference "
+                    "schedule's measured number is the cached one-core "
+                    "CPU record (83.6 s end-to-end, "
+                    "bench_cpu_baseline.json rxndiff1d key)")
         rec["wall_s"] = round(time.time() - t0, 1)
         _emit({"name": name, "record": rec})
+        err = rec.get("error", "") + rec.get("cpu_error", "")
+        if ("crashed or restarted" in err or "UNAVAILABLE" in err
+                or "DEADLINE_EXCEEDED" in err):
+            # the TPU worker died: this client is poisoned — every later
+            # config would fail instantly.  Exit so the parent relaunches
+            # a FRESH client with the remaining queue (the crash is
+            # already recorded above; rc=17 tells the parent not to
+            # re-charge the next config)
+            sys.exit(17)
 
 
 def _measure_cpu_baselines(names):
@@ -849,7 +877,7 @@ def main():
     extra = {}
     queue = list(names)
     launches = 0
-    while queue and time.time() < deadline - 30 and launches < 4:
+    while queue and time.time() < deadline - 30 and launches < 6:
         launches += 1
         p = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--child",
@@ -867,8 +895,15 @@ def main():
         terr = threading.Thread(target=_reader, args=(p.stderr, errs))
         tout.start()
         terr.start()
+        seen = 0
         while p.poll() is None and time.time() < deadline:
             time.sleep(1.0)
+            if len(lines) > seen:       # progress note for log watchers
+                for ln in lines[seen:]:
+                    if ln.startswith("BENCHCFG"):
+                        sys.stderr.write("[bench] " + ln[len("BENCHCFG"):])
+                        sys.stderr.flush()
+                seen = len(lines)
         if p.poll() is None:
             p.kill()
         tout.join(timeout=10)
@@ -887,9 +922,11 @@ def main():
                     queue.remove(obj["name"])
         if p.returncode == 0:
             break
-        if queue and time.time() < deadline - 30:
-            # the child died mid-config: charge the crash to the config it
-            # was running and relaunch with the remainder
+        if p.returncode != 17 and queue and time.time() < deadline - 30:
+            # the child died mid-config WITHOUT reporting it: charge the
+            # crash to the config it was running and relaunch with the
+            # remainder.  (rc=17 = the child already recorded a worker
+            # crash and exited deliberately so a fresh client takes over.)
             crashed = queue.pop(0)
             tail = "".join(errs).strip().splitlines()[-3:]
             extra[_KEY_OF[crashed]] = {
