@@ -479,24 +479,33 @@ def _timed_sweep_host(single, u0, volts, device, reps=REPS):
     return float(np.median(ts)), float(np.std(ts)), n_newton
 
 
-def _timed_run(run, args, device, reps=REPS):
-    """AOT compile on device; warm-up; median of reps (exec + fetch)."""
+def _timed_run(run, args, device, reps=REPS, warmup=True):
+    """AOT compile on device; warm-up; median of reps (exec + fetch).
+
+    warmup=False (offline CPU baselines of the R=10 configs only) skips
+    the untimed warm-up execution: a CPU window at that block size runs
+    ~20+ min and the backend has no device-warm-up effect to flush."""
     import jax
 
     if not isinstance(args, tuple):
         args = (args,)
     argsd = tuple(jax.device_put(a, device) for a in args)
     compiled = jax.jit(run).lower(*argsd).compile()
-    out, iters = compiled(*argsd)
-    chk = float(abs(out).sum())
-    assert np.isfinite(chk), "non-finite bench result"
-    n_newton = int(np.asarray(iters).sum())
+    n_newton = None
+    if warmup:
+        out, iters = compiled(*argsd)
+        chk = float(abs(out).sum())
+        assert np.isfinite(chk), "non-finite bench result"
+        n_newton = int(np.asarray(iters).sum())
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
         out, iters = compiled(*argsd)
         chk = float(abs(out).sum())
         ts.append(time.perf_counter() - t0)
+    if n_newton is None:
+        assert np.isfinite(chk), "non-finite bench result"
+        n_newton = int(np.asarray(iters).sum())
     return float(np.median(ts)), float(np.std(ts)), n_newton
 
 
@@ -663,7 +672,14 @@ def _child_config(config: str, accel) -> dict:
                        "stresses the slab block size m (O(S*m^3) factor "
                        "cost); the CPU baseline is cached at reps=1 "
                        "(a single exact-Newton window runs ~20-50 min "
-                       "on one core at this block size)")
+                       "on one core at this block size).  NOTE: carried "
+                       "mode LOSES to exact Newton at this block size "
+                       "(measured r4: 2,272.7 vs 1,857.4 ms/step — the "
+                       "settled transient needs so few exact iterations "
+                       "that chord attempts + refreshes cost more than "
+                       "they save); the R=10 production recommendation "
+                       "is refresh='iter', and vs_baseline_exact is the "
+                       "operative ratio here")
         return rec
 
     if config == "pore_l100r10":
@@ -826,8 +842,9 @@ def _measure_cpu_baselines(names):
     jax.config.update("jax_platforms", "cpu")
     cpu = jax.devices("cpu")[0]
     # r10's cross-section makes an exact-Newton CPU window ~20-50 min;
-    # one rep keeps the offline measurement tractable (CPU spread is <1%
-    # everywhere it was measured with 3)
+    # one rep without warm-up keeps the offline measurement tractable
+    # (CPU spread is <1% everywhere it was measured with 3, and the CPU
+    # backend has no warm-up effect)
     reps_of = {"pore_r10": 1, "sweep_r10": 1}
     for name in names:
         build, timed = builders[name]
@@ -838,7 +855,8 @@ def _measure_cpu_baselines(names):
             if _cpu_cache().get(key) is not None:
                 print(f"{name}: cached {key}")
                 continue
-            t, _, _ = _timed_run(run, args, cpu, reps=reps)
+            t, _, _ = _timed_run(run, args, cpu, reps=reps,
+                                 warmup=(reps > 1))
         else:
             single, (u0, volts), key, _ = out
             if _cpu_cache().get(key) is not None:

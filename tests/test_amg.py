@@ -102,6 +102,7 @@ def test_vcycle_beats_block_jacobi_on_3d_fem():
                                rtol=1e-6, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_amg_precond_through_linear_config():
     mesh = uniform_interval_mesh(60)
     mesh = mesh.with_markers(np.zeros(len(mesh.facets), dtype=np.int32))

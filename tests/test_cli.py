@@ -105,6 +105,7 @@ def test_iv_reader(tmp_path):
     assert CO == [0.5, 0.9]
 
 
+@pytest.mark.slow
 def test_pore_cli_kill_and_resume(tmp_path):
     """Checkpointed CLI run killed after 2 steps and resumed to 4 produces
     the same final fields as an uninterrupted 4-step run (VERDICT round-1
@@ -132,6 +133,7 @@ def test_pore_cli_kill_and_resume(tmp_path):
                                    atol=1e-12)
 
 
+@pytest.mark.slow
 def test_pore_cli_resume_at_completion(tmp_path):
     """Re-invoking a FINISHED checkpointed run must exit cleanly and rewrite
     the finished run's outputs — not crash on stats=None (VERDICT r2 weak
@@ -162,6 +164,7 @@ def test_pore_cli_resume_at_completion(tmp_path):
                                    atol=1e-12)
 
 
+@pytest.mark.slow
 def test_edl_cli_resume_at_completion(tmp_path):
     """Same regression for the 1D EDL CLI (models/edl_1d.py:461)."""
     from gmpnp_tpu.cli import edl_1d as cli

@@ -57,6 +57,7 @@ def test_edl_voltage_sweep_matches_sequential():
 @pytest.mark.parametrize("n_dev,sh_linear", [
     (2, "slab_direct"), (4, "slab_direct"), (8, "slab_direct"),
     (4, "bicgstab_jacobi")])
+@pytest.mark.slow
 def test_sharded_pore_step_matches_single_device(n_dev, sh_linear):
     devices = jax.devices()
     if len(devices) < n_dev:
@@ -119,6 +120,7 @@ def test_sharded_pore_step_matches_single_device(n_dev, sh_linear):
         assert int(lin) < 60 * int(iters), (int(lin), int(iters))
 
 
+@pytest.mark.slow
 def test_sharded_two_steps_consistency():
     """Two consecutive sharded steps track the single-device transient."""
     devices = jax.devices()
@@ -162,6 +164,7 @@ def test_sharded_two_steps_consistency():
     assert err < 1e-6, err
 
 
+@pytest.mark.slow
 def test_sharded_pore_transient_reference_scale(reference_utilities,
                                                 monkeypatch):
     """Sharded multi-step transient at the SHIPPED L_50_R_5 mesh (N=3679)
@@ -339,6 +342,7 @@ def test_pore_sweep_carried_matches_iter():
     assert bool(np.asarray(stats_s.converged).all())
 
 
+@pytest.mark.slow
 def test_sharded_step_refresh_matches_iter():
     """refresh='step' (one Jacobian assembly + SPIKE factorization per
     time step, chord Newton within the step) converges to the same
@@ -386,6 +390,7 @@ def test_sharded_step_refresh_matches_iter():
     assert it_b >= it_a
 
 
+@pytest.mark.slow
 def test_sharded_carried_transient_matches_iter():
     """refresh='carried' (the distributed carried-factor chord Newton:
     local Jacobian blocks + SPIKE factorization riding the transient
@@ -417,6 +422,7 @@ def test_sharded_carried_transient_matches_iter():
     assert err < 1e-7, err
 
 
+@pytest.mark.slow
 def test_run_sharded_full_outputs_match_single_device(tmp_path):
     """pore_3d.run(shard=2) — the CLI-exposed multi-chip production
     entry — produces the same artifact set (npz key sets, metadata,
@@ -454,6 +460,7 @@ def test_run_sharded_full_outputs_match_single_device(tmp_path):
 
 
 @pytest.mark.parametrize("n_dev", [4, 8])
+@pytest.mark.slow
 def test_sharded_step_ring_seam_matches_replicated(n_dev):
     """seam='ring' (distributed PCR seam solve — O(log n_dev) stored
     blocks per device, VERDICT r3 item 9) produces the same Newton step
@@ -501,6 +508,7 @@ def test_sharded_step_ring_seam_matches_replicated(n_dev):
     assert lin_b < 60 * max(1, it_b), (lin_b, it_b)
 
 
+@pytest.mark.slow
 def test_sharded_carried_ring_seam_transient():
     """The PCR seam factors ride the carried chord state as per-device
     leaves (carry_split seam='ring' path): a carried transient with
@@ -536,6 +544,7 @@ def test_run_sharded_refuses_too_many_devices():
                     shard=len(jax.devices()) + 1)
 
 
+@pytest.mark.slow
 def test_run_sharded_kill_and_resume(tmp_path):
     """Sharded checkpoint/resume (VERDICT r3 item 4): a --shard 4 run
     killed after 2 of 4 steps and resumed produces the same artifacts as
@@ -577,6 +586,7 @@ def test_run_sharded_kill_and_resume(tmp_path):
         rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_sharded_transient_dt_cut_recovery():
     """max_retries on the sharded transient: a dt too large for the
     cold start is halved per the retry rule and the transient completes

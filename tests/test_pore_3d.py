@@ -218,6 +218,7 @@ def test_carried_factor_matches_exact_newton():
     assert rel < 1e-8, rel
 
 
+@pytest.mark.slow
 def test_carried_chord_knob_combinations():
     """The carried-mode knobs (chord_dtype='f64', chord_predict=False —
     the conservative settings behind the f32+predictor defaults) each
@@ -272,6 +273,7 @@ def test_chord_predictor_cuts_warm_iterations():
     assert iters[True] <= iters[False], iters
 
 
+@pytest.mark.slow
 def test_carried_factor_checkpoint_resume(tmp_path):
     """The carried factorization is derived data: a checkpointed carried
     run resumes from the orbax state (rebuilding the factor) and matches
@@ -298,6 +300,7 @@ def test_carried_factor_checkpoint_resume(tmp_path):
     assert rel < 1e-8, rel
 
 
+@pytest.mark.slow
 def test_carried_factor_with_recovery_converges():
     """make_recovering_carried_step: carried mode composes with dt-halving
     recovery; a plain run with retries enabled completes with dt_scale

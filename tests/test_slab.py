@@ -183,6 +183,7 @@ def test_slab_apply_f32_direction_quality():
     assert err < 1e-3, err
 
 
+@pytest.mark.slow
 def test_newton_step_slab_vs_bicgstab():
     """One implicit 3D GMPNP step with kind='slab_direct' matches the
     round-1 BiCGStab path to Krylov-tolerance accuracy."""
@@ -215,6 +216,7 @@ def test_newton_step_slab_vs_bicgstab():
                                rtol=2e-6, atol=2e-8)
 
 
+@pytest.mark.slow
 def test_newton_step_slab_vs_dense_1e8():
     """BASELINE.md parity bar (VERDICT item 8b): one implicit 3D GMPNP
     step solved with the production slab_direct path agrees with the
@@ -251,6 +253,7 @@ def test_newton_step_slab_vs_dense_1e8():
         assert rel <= 1e-8, (f, rel)
 
 
+@pytest.mark.slow
 def test_newton_step_frozen_factorization_refresh_step():
     """LinearConfig.refresh='step' (modified Newton: one factorization per
     time step, solve.slab.SlabPrepared) converges to the same solution as
