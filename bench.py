@@ -38,7 +38,10 @@ Orchestration (VERDICT r3 item #1 — round 3's record was rc=124 because
 timeouts blew the driver's budget): ONE child process runs the whole
 config queue (one device init), streaming a BENCHCFG record line after
 EACH config; the parent enforces a global wall-clock budget
-(GMPNP_BENCH_BUDGET_S, default 2100 s), kills the child at the deadline,
+(GMPNP_BENCH_BUDGET_S, default 3600 s — the all-warm nine-config run
+measures ~50 min and the round-3 driver allowed >=100; round-3's fatal
+mistake was unbounded worst-case time, not size), kills the child at the
+deadline,
 and ALWAYS prints the final JSON line with whatever was measured.  A
 child crash loses only the in-flight config: the parent relaunches the
 child with the remaining queue.
@@ -879,7 +882,7 @@ def main():
         _measure_cpu_baselines(argv[1:] or [n for n, _, _ in CONFIGS])
         return
 
-    budget = float(os.environ.get("GMPNP_BENCH_BUDGET_S", "2100"))
+    budget = float(os.environ.get("GMPNP_BENCH_BUDGET_S", "3600"))
     deadline = time.time() + budget
     names = [n for n, _, _ in CONFIGS]
     if argv:
