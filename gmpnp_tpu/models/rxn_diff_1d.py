@@ -78,8 +78,18 @@ class RxnDiff1DConfig:
     time_step: float = 2.0e-2
     # framework knobs
     quad_degree: int = 3
+    # ref :329-341 tolerances.  stall_atol: on TPU-emulated f64 the
+    # residual-evaluation noise floor of this system measures ~2.7e-6 at
+    # N=5991 (probes/probe_r5_b.py) — ABOVE the reference's atol, so
+    # every warm step past ~t=0.5 s burned the full 100-iteration budget
+    # at the floor (and long dispatches then killed the TPU worker, the
+    # round-4 "kernel fault").  The stagnation exit accepts a residual
+    # that has stopped improving below 1e-4 (solve.newton.newton_solve
+    # stall_atol); on real-f64 backends the 1e-6 criterion triggers
+    # first and behavior is unchanged — TPU-vs-CPU final states match to
+    # ~1e-6 rel-L2 (probe_r5_a).
     newton: NewtonConfig = field(default_factory=lambda: NewtonConfig(
-        max_iter=100, rtol=1.0e-6, atol=1.0e-6))  # ref :329-341
+        max_iter=100, rtol=1.0e-6, atol=1.0e-6, stall_atol=1.0e-4))
     linear: LinearConfig = field(default_factory=lambda: LinearConfig(
         kind="tridiag_cr"))
 

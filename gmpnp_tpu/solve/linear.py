@@ -20,7 +20,8 @@ import jax
 import jax.numpy as jnp
 
 from gmpnp_tpu.fem.assembly import BlockELL
-from gmpnp_tpu.solve.smallblock import block_inv, block_solve, triangular_solve_upper
+from gmpnp_tpu.solve.smallblock import (
+    block_inv, block_solve, range_clamp, triangular_solve_upper)
 
 
 # ---------------------------------------------------------------------------
@@ -122,16 +123,21 @@ def block_tridiag_solve_cr(lower, diag, upper, rhs):
         od_lo = ev - 1                 # left odd neighbor
         od_hi = ev + 1                 # right odd neighbor
 
-        # alpha = A_even @ inv(B_left);  gamma = C_even @ inv(B_right)
-        alpha = Ap[ev] @ block_inv(Bp[od_lo])
-        gamma = Cp[ev] @ block_inv(Bp[od_hi])
+        # alpha = A_even @ inv(B_left);  gamma = C_even @ inv(B_right).
+        # Every level's products are range-clamped: near-singular odd
+        # blocks during a Newton excursion otherwise cascade magnitudes
+        # past the TPU-emulated-f64 exponent range within a few levels
+        # and kernel-fault the worker (smallblock.RANGE_LIM note).
+        alpha = range_clamp(Ap[ev] @ block_inv(Bp[od_lo]))
+        gamma = range_clamp(Cp[ev] @ block_inv(Bp[od_hi]))
 
-        A_new = -alpha @ Ap[od_lo]
-        B_new = Bp[ev] - alpha @ Cp[od_lo] - gamma @ Ap[od_hi]
-        C_new = -gamma @ Cp[od_hi]
-        D_new = (Dp[ev]
-                 - jnp.einsum("nij,nj->ni", alpha, Dp[od_lo])
-                 - jnp.einsum("nij,nj->ni", gamma, Dp[od_hi]))
+        A_new = range_clamp(-alpha @ Ap[od_lo])
+        B_new = range_clamp(Bp[ev] - alpha @ Cp[od_lo] - gamma @ Ap[od_hi])
+        C_new = range_clamp(-gamma @ Cp[od_hi])
+        D_new = range_clamp(
+            Dp[ev]
+            - jnp.einsum("nij,nj->ni", alpha, Dp[od_lo])
+            - jnp.einsum("nij,nj->ni", gamma, Dp[od_hi]))
 
         stack.append((A, B, C, D))
         A, B, C, D = A_new, B_new, C_new, D_new
@@ -146,10 +152,11 @@ def block_tridiag_solve_cr(lower, diag, upper, rhs):
         x_right = jnp.concatenate(
             [x_even[1:], jnp.zeros((1, f), dtype)], axis=0)
         od = jnp.arange(1, m, 2)
-        rhs_od = (D_l[od]
-                  - jnp.einsum("nij,nj->ni", A_l[od], x_even)
-                  - jnp.einsum("nij,nj->ni", C_l[od], x_right))
-        x_odd = block_solve(B_l[od], rhs_od)
+        rhs_od = range_clamp(
+            D_l[od]
+            - jnp.einsum("nij,nj->ni", A_l[od], x_even)
+            - jnp.einsum("nij,nj->ni", C_l[od], x_right))
+        x_odd = range_clamp(block_solve(B_l[od], rhs_od))
         x = jnp.stack([x_even, x_odd], axis=1).reshape(m, f)
 
     return x[:N]
@@ -208,16 +215,19 @@ def block_tridiag_factor_cr(lower, diag, upper) -> CRFactors:
         A_od, B_od, C_od = A[od], B[od], C[od]
         Binv_od = block_inv(B_od)
         # even row 2j's left odd neighbor is 2j-1 (ghost identity at j=0),
-        # its right odd neighbor is 2j+1
+        # its right odd neighbor is 2j+1.  Level products are range-clamped
+        # against emulated-f64 exponent overflow (smallblock.RANGE_LIM);
+        # any clamped pivot is corrected by the f64 GMRES polish that
+        # wraps this factorization (tridiag_mp_solve).
         Binv_left = jnp.concatenate([eye1, Binv_od[:-1]])
-        alpha = A[ev] @ Binv_left
-        gamma = C[ev] @ Binv_od
+        alpha = range_clamp(A[ev] @ Binv_left)
+        gamma = range_clamp(C[ev] @ Binv_od)
         levels.append(_CRLevel(alpha, gamma, A_od, C_od, Binv_od))
         A_left = jnp.concatenate([zed1, A_od[:-1]])
         C_left = jnp.concatenate([zed1, C_od[:-1]])
-        A = -alpha @ A_left
-        B = B[ev] - alpha @ C_left - gamma @ A_od
-        C = -gamma @ C_od
+        A = range_clamp(-alpha @ A_left)
+        B = range_clamp(B[ev] - alpha @ C_left - gamma @ A_od)
+        C = range_clamp(-gamma @ C_od)
     return CRFactors(levels=tuple(levels), Binv_top=block_inv(B[0]))
 
 
@@ -236,18 +246,21 @@ def block_tridiag_apply_cr(factors: CRFactors, rhs: jnp.ndarray) -> jnp.ndarray:
         D_ev, D_od = D[0::2], D[1::2]
         odd_rhs.append(D_od)
         D_left = jnp.concatenate([zv1, D_od[:-1]])
-        D = (D_ev
-             - jnp.einsum("nij,nj->ni", lev.alpha, D_left)
-             - jnp.einsum("nij,nj->ni", lev.gamma, D_od))
+        D = range_clamp(
+            D_ev
+            - jnp.einsum("nij,nj->ni", lev.alpha, D_left)
+            - jnp.einsum("nij,nj->ni", lev.gamma, D_od))
 
     x = (factors.Binv_top @ D[0])[None]               # (1, f)
     for lev, D_od in zip(reversed(factors.levels), reversed(odd_rhs)):
         x_even = x
         x_right = jnp.concatenate([x_even[1:], zv1])
-        r_od = (D_od
-                - jnp.einsum("nij,nj->ni", lev.A_od, x_even)
-                - jnp.einsum("nij,nj->ni", lev.C_od, x_right))
-        x_odd = jnp.einsum("nij,nj->ni", lev.Binv_od, r_od)
+        r_od = range_clamp(
+            D_od
+            - jnp.einsum("nij,nj->ni", lev.A_od, x_even)
+            - jnp.einsum("nij,nj->ni", lev.C_od, x_right))
+        x_odd = range_clamp(
+            jnp.einsum("nij,nj->ni", lev.Binv_od, r_od))
         m = 2 * x_even.shape[0]
         x = jnp.stack([x_even, x_odd], axis=1).reshape(m, f)
     return x[:N]

@@ -13,13 +13,42 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+# Exponent-range guard.  XLA:TPU emulates f64 with float32 pairs, which
+# keeps ~f32 EXPONENT range (~1e+-38): a near-singular block during a
+# Newton excursion can push a pivot inverse past it, and the resulting
+# overflow in emulated-f64 intermediates kernel-faults the TPU worker
+# (BASELINE config 1's 500-step schedule, docs/TPU_NOTES.md round 4-5).
+# Every factorization magnitude is clamped to +-RANGE_LIM and pivots are
+# floored at RANGE_FLOOR, so no product of two clamped quantities (times
+# block size <= 16) can reach 1e38: 1e16 * 1e16 * 16 ~ 1.6e33.  Both
+# bounds sit ~1e6+ beyond any legitimate quantity in this framework's
+# scaled systems, so healthy solves are numerically unchanged; where a
+# clamp does engage, the direction is certified downstream (Newton
+# accepts on the true f64 residual; the mixed-precision direct paths
+# additionally polish with f64 GMRES, correcting any clamped pivot).
+RANGE_LIM = 1.0e16
+RANGE_FLOOR = 1.0e-16
+
+
+def range_clamp(x: jnp.ndarray, lim: float = RANGE_LIM) -> jnp.ndarray:
+    """Clamp magnitudes into the TPU-emulated-f64 exponent budget."""
+    return jnp.clip(x, -lim, lim)
+
+
+def _floor_pivot(pivval: jnp.ndarray) -> jnp.ndarray:
+    """Push a ~zero pivot to +-RANGE_FLOOR, keeping its sign (sign(0)
+    counts as +)."""
+    neg = pivval < 0
+    floored = jnp.where(neg, -RANGE_FLOOR, RANGE_FLOOR)
+    return jnp.where(jnp.abs(pivval) < RANGE_FLOOR, floored, pivval)
+
 
 def block_inv(A: jnp.ndarray) -> jnp.ndarray:
     """Batched inverse of (..., f, f) via Gauss-Jordan with partial
     pivoting.  f is static and small (<= ~16)."""
     f = A.shape[-1]
     eye = jnp.broadcast_to(jnp.eye(f, dtype=A.dtype), A.shape)
-    aug = jnp.concatenate([A, eye], axis=-1)          # (..., f, 2f)
+    aug = jnp.concatenate([range_clamp(A), eye], axis=-1)   # (..., f, 2f)
     rows = jnp.arange(f, dtype=jnp.int32)
 
     for k in range(f):
@@ -49,11 +78,14 @@ def block_inv(A: jnp.ndarray) -> jnp.ndarray:
                          jnp.where(h[..., :, None], j_is_k, eye_ij))
         aug = jnp.sum(perm.astype(aug.dtype)[..., :, :, None]
                       * aug[..., None, :, :], axis=-2)
-        # normalize pivot row, eliminate everywhere else
-        pivval = aug[..., k, k][..., None, None]
-        rowk = aug[..., k:k + 1, :] / pivval
+        # normalize pivot row, eliminate everywhere else.  The pivot is
+        # floored and the row/update magnitudes clamped so near-singular
+        # blocks stay inside the emulated-f64 exponent range (see the
+        # RANGE_LIM note above).
+        pivval = _floor_pivot(aug[..., k, k])[..., None, None]
+        rowk = range_clamp(aug[..., k:k + 1, :] / pivval)
         factors = aug[..., :, k:k + 1]
-        aug = aug - factors * rowk
+        aug = range_clamp(aug - factors * rowk)
         # restore the (zeroed) pivot row as the normalized row
         aug = _set_row(aug, k, rowk[..., 0, :])
 

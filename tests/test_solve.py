@@ -367,3 +367,41 @@ def test_newton_bt_growth_matches_plain_when_healthy():
     assert int(growth.iterations) == int(plain.iterations)
     np.testing.assert_allclose(np.asarray(growth.u), np.asarray(plain.u),
                                rtol=1e-14, atol=0)
+
+
+@pytest.mark.parametrize("loop", ["fori", "while"])
+def test_newton_stagnation_exit(loop):
+    """stall_atol (round 5): a residual that floors at evaluation noise
+    (the TPU-emulated-f64 situation of BASELINE config 1,
+    probes/probe_r5_b.py) exits converged once stagnated below the bound
+    instead of burning the whole iteration budget; a normally-converging
+    solve is bit-identical with the knob on."""
+    import jax.numpy as jnp
+
+    from gmpnp_tpu.solve.newton import newton_solve
+
+    def lin(u, r):
+        return r / (2 * u), jnp.array(0, jnp.int32)
+
+    def r_clean(u):
+        return u ** 2 - 2.0
+
+    a = newton_solve(r_clean, lin, jnp.ones(3) * 3, rtol=1e-12,
+                     atol=1e-12, loop=loop)
+    b = newton_solve(r_clean, lin, jnp.ones(3) * 3, rtol=1e-12,
+                     atol=1e-12, loop=loop, stall_atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(a.u), np.asarray(b.u))
+    assert int(a.iterations) == int(b.iterations)
+    assert bool(b.converged)
+
+    def r_noisy(u):   # deterministic pseudo-noise floor ~1e-5
+        return u ** 2 - 2.0 + 1e-5 * jnp.sin(u * 1e8)
+
+    plain = newton_solve(r_noisy, lin, jnp.ones(3) * 3, rtol=1e-12,
+                         atol=1e-9, max_iter=50, loop=loop)
+    stall = newton_solve(r_noisy, lin, jnp.ones(3) * 3, rtol=1e-12,
+                         atol=1e-9, max_iter=50, loop=loop,
+                         stall_atol=1e-3)
+    assert not bool(plain.converged) and int(plain.iterations) == 50
+    assert bool(stall.converged) and int(stall.iterations) < 20
+    assert float(stall.residual_norm) < 1e-3
