@@ -44,6 +44,17 @@ def add_common_pore_args(p):
                    help="divergence recovery: retry a non-converged step "
                         "with dt halved up to K times (default: 3 for "
                         "full-length runs, 0 with --n_steps)")
+    p.add_argument("--dt_first_scale", type=float, default=None,
+                   help="staged first step(s): run the first "
+                        "--dt_first_steps steps at dt * this factor "
+                        "(deep-voltage cold starts: 1/32 unlocks V<=-2.0, "
+                        "1/8 unlocks V=-2.5 on the shipped mesh — the 3D "
+                        "form of the reference's 1D staged-dt schedule, "
+                        "1D/MPNP_CO2ER_EDL.py:270-290; default 1.0 = "
+                        "reference-parity unstaged)")
+    p.add_argument("--dt_first_steps", type=int, default=None,
+                   help="how many leading steps --dt_first_scale applies "
+                        "to (default 1)")
     p.add_argument("--newton_backtracking", type=int, default=None,
                    help="backtracking halvings per Newton iteration "
                         "(default 0 = reference-parity damped Newton)")
@@ -60,13 +71,16 @@ def add_common_pore_args(p):
                         "Identical outputs incl. checkpoint/resume "
                         "(--checkpoint_dir) and dt-cut recovery")
     p.add_argument("--linear_refresh", type=str, default=None,
-                   choices=("iter", "step", "carried"),
+                   choices=("iter", "step", "carried", "auto"),
                    help="slab-factorization refresh policy: 'iter' = exact "
                         "Newton, re-factor every iterate (reference-parity "
                         "default); 'step' = once per time step; 'carried' = "
                         "carry across steps with lazy refresh (chord Newton "
                         "— the fast production mode, ~1.4x on TPU at the "
-                        "shipped mesh; solve.timeloop.make_carried_step)")
+                        "shipped mesh; solve.timeloop.make_carried_step); "
+                        "'auto' = time both on a warm window at startup and "
+                        "pick the winner (carried wins at R=5, loses at "
+                        "R=10 — solve.timeloop.calibrate_refresh)")
 
 
 def build_parser():
@@ -103,6 +117,10 @@ def config_from_args(args, physics):
         kw["mesh_resolution"] = tuple(args.mesh_resolution)
     if getattr(args, "dt_retries", None) is not None:
         kw["dt_retries"] = args.dt_retries
+    if getattr(args, "dt_first_scale", None) is not None:
+        kw["dt_first_scale"] = args.dt_first_scale
+    if getattr(args, "dt_first_steps", None) is not None:
+        kw["dt_first_steps"] = args.dt_first_steps
     if physics == "GMPNP":
         kw["voltage_multiplier"] = args.voltage_multiplier
         kw["faithful"] = not args.corrected_fluxes

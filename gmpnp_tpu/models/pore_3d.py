@@ -48,6 +48,7 @@ from gmpnp_tpu.models import base
 from gmpnp_tpu.solve.timeloop import (
     LinearConfig,
     NewtonConfig,
+    calibrate_refresh,
     make_carried_step,
     make_implicit_step,
     make_recovering_carried_step,
@@ -102,6 +103,17 @@ class Pore3DConfig:
     # windows.  SURVEY §5: the reference has no recovery — a diverged
     # Newton kills the run and all results are lost.
     dt_retries: Optional[int] = None
+    # staged first step(s): run the first ``dt_first_steps`` steps at
+    # dt * ``dt_first_scale``, then the full reference dt — the 3D
+    # application of the reference's own 1D staged-dt idea
+    # (1D/MPNP_CO2ER_EDL.py:270-290).  Deep-voltage cold starts exceed
+    # backward Euler's convergence basin at the full reference dt on the
+    # shipped meshes (V<=-1.5 diverges at every Newton variant); taking
+    # only the FIRST step reduced converges the whole transient —
+    # measured dt/32 for V=-1.5/-2.0, dt/8 for V=-2.5 (probe_r3_t,
+    # docs/STATUS.md round 3).  1.0 = reference-parity unstaged start.
+    dt_first_scale: float = 1.0
+    dt_first_steps: int = 1
     newton: NewtonConfig = field(default_factory=lambda: NewtonConfig(
         max_iter=50, rtol=1.0e-4, atol=1.0e-4, relaxation=0.9))  # ref :789-799
     # Default: the z-slab block-banded direct solver (solve.slab) — the
@@ -206,7 +218,15 @@ class Pore3DProgram:
         eq_CO2 = co2_saturation_conc(
             self.params.sys_params.T, self.fugacity_CO2, conc_ions,
             self.params, h_sechenov=h)
-        return {"dt": self.dt_scaled, "co2_s1": eq_CO2 / bc0["CO2"]}
+        # staged first step(s): cfg.dt_first_scale on steps < dt_first_steps
+        # (traced index — no recompilation per step; see Pore3DConfig).
+        # Unstaged runs keep dt as the baked-in constant (bit-identical
+        # programs to pre-staging builds).
+        dt = self.dt_scaled
+        if cfg.dt_first_scale != 1.0:
+            dt = dt * jnp.where(jnp.asarray(i) < cfg.dt_first_steps,
+                                cfg.dt_first_scale, 1.0)
+        return {"dt": dt, "co2_s1": eq_CO2 / bc0["CO2"]}
 
     def _bc_of_theta(self, theta):
         return self.bc.set_value(self.s1_verts, self.idx["CO2"],
@@ -229,6 +249,21 @@ class Pore3DProgram:
         retries = cfg.dt_retries
         if retries is None:
             retries = 3 if n_steps is None else 0
+        if cfg.linear.refresh == "auto":
+            # resolve by measurement: carried vs exact is a regime-
+            # dependent trade (wins 1.4-1.6x at R=5 block sizes, loses
+            # 1.22x at R=10 — timeloop.calibrate_refresh)
+            import dataclasses as _dc
+            nf0, ns0 = cfg.n_fields, len(cfg.species)
+            u0c = jnp.ones((self.space.num_vertices, nf0))
+            if cfg.physics == "GMPNP":
+                u0c = u0c.at[:, ns0].set(0.0)
+            mode, times = calibrate_refresh(
+                self.space, self.form, cfg.newton, cfg.linear,
+                self._bc_of_theta, u0c, self._theta_of_carry)
+            self.refresh_calibration = dict(times, mode=mode)
+            cfg = _dc.replace(cfg, linear=_dc.replace(
+                cfg.linear, refresh=mode))
         carried = (cfg.linear.kind == "slab_direct"
                    and cfg.linear.refresh == "carried")
         prep_init = None
@@ -524,6 +559,15 @@ def _run_sharded(prog: Pore3DProgram, cfg: Pore3DConfig, shard: int,
             f"host provision a virtual CPU mesh via "
             f"--xla_force_host_platform_device_count (tests/conftest.py)")
     n = prog.num_steps if n_steps is None else n_steps
+    if cfg.linear.refresh == "auto":
+        # sharded runs resolve 'auto' statically to 'carried' (the
+        # measured sharded production default — the distributed chord
+        # keeps the SPIKE factors as carry leaves, parallel.shard);
+        # the timed calibration of timeloop.calibrate_refresh targets
+        # the single-device slab path where the regime split was seen
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, linear=_dc.replace(cfg.linear,
+                                                  refresh="carried"))
     retries = cfg.dt_retries
     if retries is None:
         retries = 3 if n_steps is None else 0
@@ -570,7 +614,12 @@ def _run_sharded(prog: Pore3DProgram, cfg: Pore3DConfig, shard: int,
             run_k, sharding, plan = runs[k]
             u_sh = jax.device_put(
                 jnp.asarray(plan.localize(u_cur)), sharding)
-            (u_fin, extra), (u_hist_k, st_k) = run_k(u_sh)
+            # restored extra and the ABSOLUTE step index are threaded
+            # into the chunk (traced args — no recompile per chunk), so
+            # theta sees the same values as an unchunked run; mirrors
+            # run_transient_checkpointed (ADVICE r4 #1)
+            (u_fin, extra), (u_hist_k, st_k) = run_k(
+                u_sh, float(np.asarray(extra)), i)
             u_cur = np.asarray(u_fin)
             hist_chunks.append(np.asarray(u_hist_k))
             stat_chunks.append(jax.tree.map(np.asarray, st_k))
@@ -645,7 +694,15 @@ def run(cfg: Pore3DConfig, out_root: Optional[str] = None,
     unscaled = {nm: hist[:, :, idx[sp_of[nm]]] for nm in names}
 
     n_req = n_steps if n_steps is not None else prog.num_steps
-    if record_stride == 1 and n == n_req:
+    if cfg.dt_first_scale != 1.0:
+        # staged start: per-step advances differ, so the time axis is the
+        # cumulative sum of actual scheduled dts at the recorded steps
+        step_dt = np.full(n_req, prog.dt_scaled)
+        step_dt[:min(cfg.dt_first_steps, n_req)] *= cfg.dt_first_scale
+        cum = np.cumsum(step_dt)
+        offset = n_req - n * record_stride
+        tau_array = cum[offset + record_stride * np.arange(1, n + 1) - 1]
+    elif record_stride == 1 and n == n_req:
         T = prog.dt_scaled * n
         tau_array = np.linspace(0, T, n)     # reference convention
     else:
@@ -715,9 +772,20 @@ def run(cfg: Pore3DConfig, out_root: Optional[str] = None,
         "dt_cut_steps": (
             int((np.asarray(stats.dt_scale) < 1.0).sum())
             if stats is not None else 0),
+        "dt_first_scale": cfg.dt_first_scale,
+        "dt_first_steps": cfg.dt_first_steps,
+        # divergence-triggered dt cuts advance less than the scheduled
+        # dt; the recorded time axis stays nominal when any engaged
+        # (the staged-start schedule IS reflected in tau_array)
+        "times_nominal_dt_cuts": (
+            stats is not None
+            and bool((np.asarray(stats.dt_scale) < 1.0).any())),
     }
     if cfg.physics == "GMPNP":
         metadata["voltage_multiplier"] = cfg.voltage_multiplier
+    if getattr(prog, "refresh_calibration", None):
+        # refresh='auto': record which mode the timed calibration chose
+        metadata["refresh_calibration"] = prog.refresh_calibration
 
     result = {
         "unscaled": unscaled,

@@ -8,7 +8,11 @@ The reference's two parallelism modes (SURVEY.md §2c) map as:
       ppermute halo exchange and psum reductions over ICI
 """
 
-from gmpnp_tpu.parallel.sweep import run_edl_voltage_sweep, run_pore_voltage_sweep
+from gmpnp_tpu.parallel.sweep import (
+    run_edl_voltage_sweep,
+    run_lanes_on_devices,
+    run_pore_voltage_sweep,
+)
 from gmpnp_tpu.parallel.shard import (
     SlabPrecondPlan,
     ZShardPlan,
@@ -19,6 +23,7 @@ from gmpnp_tpu.parallel.shard import (
 
 __all__ = [
     "run_edl_voltage_sweep",
+    "run_lanes_on_devices",
     "run_pore_voltage_sweep",
     "SlabPrecondPlan",
     "ZShardPlan",

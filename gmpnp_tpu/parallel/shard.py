@@ -1413,15 +1413,22 @@ def make_sharded_transient(
                 return jnp.asarray(th["dt"], jnp.float64)
             return jnp.asarray(1.0, jnp.float64)
 
-        def run(u0_shard):
-            th0 = theta_of_carry((u0_shard, jnp.asarray(0.0)),
-                                 jnp.asarray(0))
+        def run(u0_shard, extra0=0.0, step_offset=0):
+            # extra0/step_offset are traced: chunked checkpoint resume
+            # (models/pore_3d._run_sharded) passes the restored carry
+            # scalar and the absolute step index so theta (dt staging,
+            # controllers) sees the same values as an unchunked run —
+            # mirroring run_transient_checkpointed (ADVICE r4 #1) —
+            # without recompiling per chunk.
+            off = jnp.asarray(step_offset)
+            ex0 = jnp.asarray(extra0, jnp.float64)
+            th0 = theta_of_carry((u0_shard, ex0), off)
             chord0 = prep_init(u0_shard, u0_shard, th0)
             zero = jnp.asarray(0.0, jnp.float64)
 
             def body(c, i):
                 u, extra, chord, du, dt_prev, nrm_prev = c
-                th = theta_of_carry((u, extra), i)
+                th = theta_of_carry((u, extra), i + off)
                 nrm_du = jnp.linalg.norm(du)
                 if chord_predict:
                     # rho = observed increment decay (see timeloop.
@@ -1448,8 +1455,15 @@ def make_sharded_transient(
                         k, _u, _st, ch = s
                         th_k = dict(th)
                         th_k["dt"] = dt0 * (0.5 ** (k + 1).astype(dt0.dtype))
-                        # retry from the safe previous state, no predictor
-                        u2, st2, ch2 = step_raw(u, u, th_k, ch)
+                        # retry from the safe previous state, no
+                        # predictor.  The chord carry is REBUILT at the
+                        # halved dt first: the carried factorization
+                        # embeds dt, so a chord attempt against the
+                        # un-halved factor is near-guaranteed to miss
+                        # and would waste a full chord solve before the
+                        # exact fallback (ADVICE r4 #3)
+                        ch_k = prep_init(u, u, th_k)
+                        u2, st2, ch2 = step_raw(u, u, th_k, ch_k)
                         return (k + 1, u2, st2, ch2)
 
                     k, u_new, stats, chord = jax.lax.while_loop(
@@ -1461,7 +1475,7 @@ def make_sharded_transient(
 
             (u_fin, extra, _, _, _, _), ys = _scan_steps(
                 body,
-                (u0_shard, jnp.asarray(0.0), chord0,
+                (u0_shard, ex0, chord0,
                  jnp.zeros_like(u0_shard), zero, zero),
                 u_of=lambda c: c[0])
             return (u_fin, extra), ys
@@ -1476,10 +1490,12 @@ def make_sharded_transient(
             return jnp.asarray(th["dt"], jnp.float64)
         return jnp.asarray(1.0, jnp.float64)
 
-    def run(u0_shard):
+    def run(u0_shard, extra0=0.0, step_offset=0):
+        off = jnp.asarray(step_offset)
+
         def body(carry, i):
             u, extra = carry
-            th = theta_of_carry((u, extra), i)
+            th = theta_of_carry((u, extra), i + off)
             u_new, stats = step_raw(u, u, th)
             if max_retries > 0:
                 dt0 = _dt_of(th)
@@ -1500,7 +1516,8 @@ def make_sharded_transient(
                 stats = (*stats, 0.5 ** k.astype(dt0.dtype))
             return (u_new, extra), stats
 
-        return _scan_steps(body, (u0_shard, jnp.asarray(0.0)),
+        return _scan_steps(body,
+                           (u0_shard, jnp.asarray(extra0, jnp.float64)),
                            u_of=lambda c: c[0])
 
     return jax.jit(run), dev_mesh, u_sharding
@@ -1562,8 +1579,8 @@ def make_sharded_pore_transient(
         u0[:, ns] = 0.0
     u0 = jax.device_put(jnp.asarray(plan.localize(u0)), u_sharding)
 
-    def run(u0_sharded):
-        (u_fin, extra), ys = run_pad(u0_sharded)
+    def run(u0_sharded, extra0=0.0, step_offset=0):
+        (u_fin, extra), ys = run_pad(u0_sharded, extra0, step_offset)
         if kwargs.get("record_stride") is not None:
             u_hist_pad, stats = ys
             u_hist = np.stack([plan.globalize(r)

@@ -87,6 +87,61 @@ def _run_lanes(single, volts, chunk: int):
     return jax.tree.map(lambda a: a[:lanes], ys)
 
 
+def _shard_map():
+    """shard_map with version-portable replication checking disabled."""
+    import inspect
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+    kw = {}
+    sig = inspect.signature(shard_map).parameters
+    if "check_rep" in sig:
+        kw["check_rep"] = False
+    elif "check_vma" in sig:
+        kw["check_vma"] = False
+    return shard_map, kw
+
+
+def run_lanes_on_devices(single, volts, devices=None, lane_axis="lanes"):
+    """Lane-per-device sweep: the reference's ACTUAL production mode — N
+    independent cluster jobs over CLI flags (README.md:37-39) — mapped
+    onto a device mesh.  Each device runs its share of lanes inside one
+    ``shard_map`` over a 1-D lane mesh; there are no collectives, so the
+    lanes are exactly as independent as the reference's jobs (ICI stays
+    idle) and per-device Newton trip counts are NOT in lockstep.
+
+    Local lanes run via ``lax.map`` (a scan, not a vmap), so the full
+    single-lane program — including the carried mode's lax.cond refresh
+    branches, which vmap would force both sides of every step (see
+    run_pore_voltage_sweep) — executes unchanged per lane.
+
+    ``single(voltage) -> ys`` is the same single-lane closure the
+    host-chunked path uses; lanes must be a multiple of the device count.
+    Validated lanes == host-sequential on the virtual CPU mesh
+    (tests/test_parallel.py) and by __graft_entry__.dryrun_multichip.
+    """
+    from jax.sharding import Mesh, PartitionSpec
+    shard_map, smkw = _shard_map()
+
+    devices = jax.devices() if devices is None else list(devices)
+    n_dev = len(devices)
+    lanes = volts.shape[0]
+    if lanes % n_dev:
+        raise ValueError(
+            f"{lanes} lanes must be a multiple of {n_dev} devices "
+            f"(pad the sweep or pass fewer devices)")
+    mesh = Mesh(np.asarray(devices), (lane_axis,))
+    spec = PartitionSpec(lane_axis)
+
+    def local(v_local):
+        return jax.lax.map(single, v_local)
+
+    fn = shard_map(local, mesh=mesh, in_specs=spec,
+                   out_specs=spec, **smkw)
+    return jax.jit(fn)(volts)
+
+
 def _sweep_newton(newton):
     """Sweep variant of the Newton config: a vmapped ``lax.cond`` executes
     its body for every lane at every trip (it lowers to a select), so the
@@ -125,11 +180,14 @@ def run_edl_voltage_sweep(
     voltages: Sequence[float],
     n_steps: Optional[int] = None,
     chunk: Optional[int] = None,
+    devices: Optional[Sequence] = None,
 ):
     """Batched 1D EDL solve over OHP voltage multipliers.
 
     chunk: lanes vmapped per batch (None = auto, see _auto_chunk;
     remaining chunks run sequentially via lax.map in the same program).
+    devices: run lane-per-device over a device mesh instead
+    (run_lanes_on_devices).
     Returns (u_hist (V, steps, N, 7), stats batched over V).
     """
     prog = edl_1d.build(cfg)
@@ -165,6 +223,8 @@ def run_edl_voltage_sweep(
         return ys
 
     volts = jnp.asarray(voltages, jnp.float64)
+    if devices is not None and len(devices) > 1:
+        return run_lanes_on_devices(single, volts, devices)
     if chunk is None:
         chunk = _auto_chunk(len(voltages), prog.space.num_vertices)
     return _run_lanes(single, volts, chunk)
@@ -175,6 +235,7 @@ def run_pore_voltage_sweep(
     voltages: Sequence[float],
     n_steps: Optional[int] = None,
     chunk: Optional[int] = None,
+    devices: Optional[Sequence] = None,
 ):
     """Batched 3D GMPNP pore solve over wall voltage multipliers — the
     BASELINE config-5 sweep (voltage x cation; cation varies via an outer
@@ -182,6 +243,10 @@ def run_pore_voltage_sweep(
 
     The wall potential enters only through a Dirichlet value, so each sweep
     member shares one compiled program.
+
+    devices: run lane-per-device over these jax devices instead of
+    chunking on one chip (run_lanes_on_devices — the pod-scale mode;
+    lanes must divide evenly).
     """
     assert cfg.physics == "GMPNP"
     prog = pore_3d.build(cfg)
@@ -202,13 +267,16 @@ def run_pore_voltage_sweep(
     if chunk is None:
         chunk = _auto_chunk(len(voltages), prog.space.num_vertices)
 
+    lane_per_device = devices is not None and len(devices) > 1
     lin = cfg.linear
     carried = lin.kind == "slab_direct" and lin.refresh == "carried"
-    if carried and chunk != 0:
+    if carried and chunk != 0 and not lane_per_device:
         # vmapped lanes execute BOTH branches of the carried mode's
         # lax.cond refreshes every step (cond lowers to select under
         # vmap) — downgrade to the stateless once-per-step policy, which
-        # keeps most of the win and stays vmap-benign
+        # keeps most of the win and stays vmap-benign.  Lane-per-device
+        # lanes run under lax.map (a scan), where cond stays cond, so
+        # they keep the full carried machinery.
         lin = dataclasses.replace(lin, refresh="step")
         carried = False
 
@@ -256,6 +324,8 @@ def run_pore_voltage_sweep(
             return ys
 
     volts = jnp.asarray(voltages, jnp.float64)
+    if lane_per_device:
+        return run_lanes_on_devices(single, volts, devices)
     return _run_lanes(single, volts, chunk)
 
 

@@ -63,6 +63,18 @@ class NewtonConfig:
     # assemble the residual once per iteration by carrying it through the
     # loop (see solve.newton.newton_solve)
     carry_residual: bool = True
+    # cap on ||du||_inf per Newton update (direction-preserving scaling;
+    # see solve.newton.newton_solve du_max — a TPU exponent-range guard
+    # that never engages on healthy steps).  None disables.
+    du_max: Optional[float] = 1.0e6
+    # stagnation acceptance: exit converged when the residual has
+    # stagnated (no >5% improvement for stall_iters consecutive
+    # iterations) below this absolute bound — the PETSc SNES 'stol'
+    # idea, needed where a tolerance sits under the residual-evaluation
+    # noise floor of TPU-emulated f64 (solve.newton.newton_solve
+    # stall_atol; probes/probe_r5_b.py).  None = off.
+    stall_atol: Optional[float] = None
+    stall_iters: int = 4
 
 
 @dataclass(frozen=True)
@@ -198,9 +210,9 @@ def _validate_linear_config(cfg: LinearConfig) -> None:
     if cfg.kind not in _LINEAR_KINDS:
         raise ValueError(
             f"unknown linear solver kind {cfg.kind!r}; one of {_LINEAR_KINDS}")
-    if cfg.refresh not in ("iter", "step", "carried"):
-        raise ValueError(f"refresh must be 'iter', 'step' or 'carried', "
-                         f"got {cfg.refresh!r}")
+    if cfg.refresh not in ("iter", "step", "carried", "auto"):
+        raise ValueError(f"refresh must be 'iter', 'step', 'carried' or "
+                         f"'auto', got {cfg.refresh!r}")
     if cfg.slab_mode not in ("thomas", "cr"):
         raise ValueError(f"slab_mode must be 'thomas' or 'cr', got "
                          f"{cfg.slab_mode!r}")
@@ -245,6 +257,11 @@ def make_linear_solver(space: FemSpace, form: WeakForm, cfg: LinearConfig):
             "refresh='carried' carries the factorization across time steps "
             "and needs the stateful step protocol — build the step with "
             "make_carried_step (models wire this automatically)")
+    if cfg.refresh == "auto":
+        raise ValueError(
+            "refresh='auto' must be resolved to a concrete mode before "
+            "building a step — call calibrate_refresh (models wire this "
+            "automatically in their run() paths)")
     slab_plan = None
     if cfg.kind == "slab_direct":
         from gmpnp_tpu.solve.slab import SlabPlan
@@ -394,7 +411,10 @@ def make_implicit_step(
             loop=newton_cfg.loop,
             backtracking=newton_cfg.backtracking,
             bt_growth=newton_cfg.bt_growth,
-            carry_residual=newton_cfg.carry_residual)
+            carry_residual=newton_cfg.carry_residual,
+            du_max=newton_cfg.du_max,
+            stall_atol=newton_cfg.stall_atol,
+            stall_iters=newton_cfg.stall_iters)
         stats = StepStats(
             newton_iters=res.iterations,
             converged=res.converged,
@@ -635,7 +655,10 @@ def make_carried_step(
                 loop=newton_cfg.loop,
                 backtracking=newton_cfg.backtracking,
                 bt_growth=newton_cfg.bt_growth,
-                carry_residual=newton_cfg.carry_residual)
+                carry_residual=newton_cfg.carry_residual,
+                du_max=newton_cfg.du_max,
+                stall_atol=newton_cfg.stall_atol,
+                stall_iters=newton_cfg.stall_iters)
 
         res1 = run_newton(
             lin_of(prep),
@@ -791,12 +814,17 @@ def make_recovering_carried_step(
 
         def body(state):
             k, u, st, p = state
-            # the failed attempt's du is a non-converged increment — zero
-            # it so the dt-halved retry's chord attempt starts from the
-            # safe u_prev instead of extrapolating garbage
-            p = p._replace(du=jnp.zeros_like(p.du),
-                           du_nrm_prev=jnp.zeros_like(p.du_nrm_prev))
-            u2, st2, p2 = attempt(k + 1, p)
+            th = dict(theta)
+            th[dt_key] = dt0 * (0.5 ** (k + 1).astype(dt0.dtype))
+            # rebuild the carried factorization at the HALVED dt: the
+            # factor embeds dt, so a chord attempt against the un-halved
+            # factor is a near-guaranteed miss that wastes a full chord
+            # solve before the exact fallback (ADVICE r4 #3).  prep_init
+            # also zeroes du, so the retry's chord attempt starts from
+            # the safe u_prev instead of extrapolating the failed
+            # attempt's garbage increment.
+            p = prep_init(u_prev, th)
+            u2, st2, p2 = base(u_prev, th, p)
             return (k + 1, u2, st2, p2)
 
         k, u, st, p = jax.lax.while_loop(
@@ -894,3 +922,109 @@ def run_transient(
     if jit:
         run = jax.jit(run)
     return run(carry0)
+
+
+def calibrate_refresh(
+    space,
+    form,
+    newton_cfg: NewtonConfig,
+    linear_cfg: LinearConfig,
+    bc_of_theta: Callable,
+    u0: jnp.ndarray,
+    theta_of_carry: Callable,
+    extra0=None,
+    warm_steps: int = 2,
+    probe_steps: int = 4,
+    reps: int = 2,
+):
+    """Resolve ``LinearConfig.refresh='auto'`` by measurement.
+
+    Carried-factor chord Newton vs exact Newton is a measured,
+    regime-dependent trade: carried wins 1.4-1.6x at the reference R=5
+    block sizes and on sweeps, but LOSES 1.22x at R=10 single-config,
+    where a settled transient needs so few exact iterations that chord
+    attempts + refreshes cost more than they save (BENCH r4 pore vs
+    pore_r10; VERDICT r4 weak #3).  The winner depends on block size,
+    mesh, physics and hardware — so it is picked per run, by running
+    both compiled step programs on a WARM state and timing them.
+
+    Protocol: advance ``warm_steps`` exact steps from ``u0`` (settles
+    the cold-start spike so the measurement reflects the warm regime
+    where a transient spends its life), then time ``probe_steps``-step
+    windows of each program from that same warm state, best of ``reps``.
+    The carried window includes its initial factorization — a slight
+    bias against carried (production refactors rarer), acceptable at
+    the 1.2x+ decision margins observed.
+
+    Returns ``(mode, times)`` where mode is 'carried' or 'iter' and
+    times records the measured window seconds.  Cost: three program
+    compiles + (warm_steps + (2 + reps) * 2 * probe_steps) steps —
+    amortized over production-length transients (the reference's 3D
+    schedule is 1,000 steps, 3D/MPNP_CO2ER_pore.py:358-365).
+    """
+    import time as _time
+
+    if linear_cfg.kind != "slab_direct":
+        # 1D carried (tridiag_cr) trades differently and is launch-
+        # latency-bound; the measured production recommendation stands
+        # (carried for sweeps, docs/TPU_NOTES.md) — auto only arbitrates
+        # the 3D slab path where the regime-dependence was measured
+        return "carried" if linear_cfg.kind == "tridiag_cr" else "iter", {}
+
+    if extra0 is None:
+        extra0 = jnp.asarray(0.0)
+    lin_e = dataclasses.replace(linear_cfg, refresh="iter")
+    step_e = make_implicit_step(space, form, newton_cfg, lin_e,
+                                bc_of_theta=bc_of_theta)
+    lin_c = dataclasses.replace(linear_cfg, refresh="carried")
+    step_c, prep_init = make_carried_step(space, form, newton_cfg, lin_c,
+                                          bc_of_theta=bc_of_theta)
+
+    def win_exact(u):
+        def body(carry, i):
+            uu, extra = carry
+            th = theta_of_carry((uu, extra), i)
+            u2, st = step_e(uu, th)
+            return (u2, extra), st.newton_iters
+
+        (u2, _), it = jax.lax.scan(body, (u, extra0),
+                                   jnp.arange(probe_steps))
+        return u2, it
+
+    def win_carried(u):
+        th0 = theta_of_carry((u, extra0), jnp.asarray(0))
+        prep0 = prep_init(u, th0)
+
+        def body(carry, i):
+            uu, extra, prep = carry
+            th = theta_of_carry((uu, extra), i)
+            u2, st, prep = step_c(uu, th, prep)
+            return (u2, extra, prep), st.newton_iters
+
+        (u2, _, _), it = jax.lax.scan(body, (u, extra0, prep0),
+                                      jnp.arange(probe_steps))
+        return u2, it
+
+    we = jax.jit(win_exact).lower(u0).compile()
+    u_warm = u0
+    for _ in range(max(1, -(-warm_steps // probe_steps))):
+        u_warm, _ = we(u_warm)
+    jax.block_until_ready(u_warm)
+    wc = jax.jit(win_carried).lower(u_warm).compile()
+
+    def best_of(fn):
+        fn(u_warm)                      # warm-up execution
+        ts = []
+        for _ in range(reps):
+            t0 = _time.perf_counter()
+            out, _ = fn(u_warm)
+            jax.block_until_ready(out)
+            ts.append(_time.perf_counter() - t0)
+        return min(ts)
+
+    t_c = best_of(wc)
+    t_e = best_of(we)
+    mode = "carried" if t_c <= t_e else "iter"
+    return mode, {"carried_window_s": round(t_c, 4),
+                  "iter_window_s": round(t_e, 4),
+                  "probe_steps": probe_steps}

@@ -1,3 +1,7 @@
+# NOTE: gmpnp_tpu.ops.block_gj was REMOVED in round 4 (the kernel
+# never compiled on hardware; VERDICT r3 item 7).  This historical
+# round-2 probe can no longer run as-is; kept for the record.
+raise SystemExit("probe retired: ops.block_gj removed in round 4 (docs/TPU_NOTES.md)")
 """Round-2 hardware probe E: vmapped slab-direct steps (the gate for the
 config-5 sweep bench) and Pallas kernels on the tunneled TPU backend.
 

@@ -1,3 +1,7 @@
+# NOTE: gmpnp_tpu.ops.block_gj was REMOVED in round 4 (the kernel
+# never compiled on hardware; VERDICT r3 item 7).  This historical
+# round-2 probe can no longer run as-is; kept for the record.
+raise SystemExit("probe retired: ops.block_gj removed in round 4 (docs/TPU_NOTES.md)")
 """Round-2 hardware probe F: (1) Mosaic-fixed Pallas kernels, (2) slab-step
 cost breakdown at the shipped L_50_R_5 mesh (N=3679) to locate the gap
 between the probe_r2_d 983 ms/step and the bench's 2973 ms/step.

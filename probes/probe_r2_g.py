@@ -1,3 +1,7 @@
+# NOTE: gmpnp_tpu.ops.block_gj was REMOVED in round 4 (the kernel
+# never compiled on hardware; VERDICT r3 item 7).  This historical
+# round-2 probe can no longer run as-is; kept for the record.
+raise SystemExit("probe retired: ops.block_gj removed in round 4 (docs/TPU_NOTES.md)")
 """Round-2 hardware probe G: after the f64-jac revert + carry_residual +
 while-loop sweep Newton (commit bbaf5e0).
 

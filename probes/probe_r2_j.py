@@ -1,3 +1,7 @@
+# NOTE: gmpnp_tpu.ops.block_gj was REMOVED in round 4 (the kernel
+# never compiled on hardware; VERDICT r3 item 7).  This historical
+# round-2 probe can no longer run as-is; kept for the record.
+raise SystemExit("probe retired: ops.block_gj removed in round 4 (docs/TPU_NOTES.md)")
 """Round-2 hardware probe J: (1) Mosaic-restructured Pallas kernels
 (3D refs, int32 GJ); (2) vmapped sweep at the SHIPPED N=3679 mesh with
 the fused factor scan — 2 lanes, then 4 (4-lane crashed the worker in

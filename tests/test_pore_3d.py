@@ -314,3 +314,60 @@ def test_carried_factor_with_recovery_converges():
     assert bool(np.asarray(stats.converged).all())
     assert np.asarray(stats.dt_scale).shape == (3,)
     np.testing.assert_allclose(np.asarray(stats.dt_scale), 1.0)
+
+
+def test_auto_refresh_resolves_and_converges():
+    """refresh='auto' (VERDICT r4 item 3): the run times a warm window of
+    both the carried and exact step programs (timeloop.calibrate_refresh),
+    resolves to a concrete mode, records the choice, and the transient
+    converges like either hand-picked mode."""
+    import dataclasses as dc
+
+    cfg = small_cfg(physics="GMPNP",
+                    linear=dc.replace(LinearConfig(kind="slab_direct"),
+                                      refresh="auto"))
+    prog = pore_3d.build(cfg)
+    _, hist, stats, u_final = prog.run(n_steps=3)
+    assert bool(np.asarray(stats.converged).all())
+    cal = prog.refresh_calibration
+    assert cal["mode"] in ("carried", "iter")
+    assert cal["carried_window_s"] > 0 and cal["iter_window_s"] > 0
+    assert np.isfinite(np.asarray(u_final)).all()
+
+
+def test_dt_first_scale_staging(tmp_path):
+    """First-class staged first step (VERDICT r4 item 5; the 3D form of
+    the reference's 1D staged-dt schedule, 1D/MPNP_CO2ER_EDL.py:270-290):
+    theta carries dt*scale for the first dt_first_steps steps and the
+    full dt after; the output time axis reflects the actual schedule and
+    metadata records the staging."""
+    import jax.numpy as jnp
+
+    cfg = small_cfg(physics="GMPNP", voltage_multiplier=-2.5,
+                    dt_first_scale=0.125, dt_first_steps=2)
+    prog = pore_3d.build(cfg)
+    u0 = jnp.ones((prog.space.num_vertices, cfg.n_fields))
+    u0 = u0.at[:, len(cfg.species)].set(0.0)
+    th0 = prog._theta_of_carry((u0, 0.0), jnp.asarray(0))
+    th1 = prog._theta_of_carry((u0, 0.0), jnp.asarray(1))
+    th2 = prog._theta_of_carry((u0, 0.0), jnp.asarray(2))
+    np.testing.assert_allclose(float(th0["dt"]), prog.dt_scaled * 0.125)
+    np.testing.assert_allclose(float(th1["dt"]), prog.dt_scaled * 0.125)
+    np.testing.assert_allclose(float(th2["dt"]), prog.dt_scaled)
+
+    res = pore_3d.run(cfg, out_root=str(tmp_path), n_steps=4,
+                      write_vtk=False)
+    md = res["metadata"]
+    assert md["dt_first_scale"] == 0.125 and md["dt_first_steps"] == 2
+    assert md["all_steps_converged"]
+    tau = res["tau_array"]
+    d = prog.dt_scaled
+    np.testing.assert_allclose(
+        tau, [0.125 * d, 0.25 * d, 1.25 * d, 2.25 * d], rtol=1e-12)
+
+    # unstaged default keeps the reference linspace convention untouched
+    cfg0 = small_cfg(physics="GMPNP", voltage_multiplier=-2.5)
+    res0 = pore_3d.run(cfg0, out_root=str(tmp_path), n_steps=4,
+                       write_vtk=False)
+    np.testing.assert_allclose(res0["tau_array"],
+                               np.linspace(0, 4 * d, 4))
