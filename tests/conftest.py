@@ -29,6 +29,21 @@ if not os.environ.get("GMPNP_TEST_ACCEL"):
     jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Session-scoped XLA compile cache (VERDICT r4 item 8: the cold suite is
+# compile-dominated).  Distinct tests independently build IDENTICAL
+# programs (same model config + mesh + step count); the persistent cache
+# dedupes those by HLO hash within one run.  A fresh temp dir per session
+# keeps it honest on a cold host and avoids committing machine-specific
+# CPU AOT artifacts (which can SIGILL across hosts — __graft_entry__.py).
+# Set GMPNP_TEST_COMPILE_CACHE=<dir> for a persistent local cache during
+# development iteration.
+import tempfile  # noqa: E402
+
+_cache_dir = os.environ.get("GMPNP_TEST_COMPILE_CACHE") or tempfile.mkdtemp(
+    prefix="gmpnp_xla_cache_")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
 import pathlib  # noqa: E402
 
 import pytest  # noqa: E402
